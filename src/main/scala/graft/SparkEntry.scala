@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.queries._
+import graft.sources.Tables
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query: the reference's Criteo/DLRM dense-feature pipeline
+    * (/root/reference/axolotls/demo/criteo.py:30-51) re-expressed
+    * Spark-first: fill_null(0) → (x+3) → ln → logit(1/(x+3)), fused by
+    * whole-stage codegen into a single scan-transform pass.
+    * Runs on sf0.001; driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    criteoPipeline(spark, "/root/testdata/sf0.001")
+
+  /** The Criteo pipeline as an oracle-checked query: a synthetic nullable
+    * column (the harness tables have no NULLs) is null-filled then pushed
+    * through the reference's numeric chain.
+    */
+  private val criteoPipeline: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val dense = when(col("l_linenumber") =!= 3, col("l_quantity")) // NULL at linenumber=3
+    val filled = fillNull(dense, 0.0)
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(log(filled + lit(3.0)), 6).as("dense_log"),
+        round(logit(lit(1.0) / (filled + lit(3.0))), 6).as("dense_logit"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val criteoOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(ln(coalesce(CASE WHEN l_linenumber <> 3 THEN l_quantity END, 0.0) + 3.0), 6) AS dense_log,
+      |  round(ln((1.0 / (coalesce(CASE WHEN l_linenumber <> 3 THEN l_quantity END, 0.0) + 3.0)) /
+      |    (1.0 - (1.0 / (coalesce(CASE WHEN l_linenumber <> 3 THEN l_quantity END, 0.0) + 3.0)))), 6) AS dense_logit
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, Q] =
+    Map[String, Q]("q00_criteo_pipeline" -> criteoPipeline) ++
+      Relational.defs
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Map("q00_criteo_pipeline" -> criteoOracle) ++
+      Relational.oracles
 }

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType}
+
+/** Scalar-function surface of the engine.
+  *
+  * Mirrors the reference's numeric verbs (log / logit — see
+  * /root/reference/axolotls/numeric_column.py:112-125) plus the
+  * determinism helpers the oracle-differential tests rely on.
+  * Everything here composes stock Catalyst expressions, so it stays
+  * inside whole-stage codegen.
+  */
+object GraftFunctions {
+
+  /** Exact money type: aggregating DOUBLE columns directly is
+    * order-dependent at scale (60k+ partial sums reassociate); casting to
+    * decimal first makes every sum exact and partition-order-independent —
+    * the difference between a plan that verifies at sf0.01 and one that
+    * verifies on a 1000-executor shuffle.
+    */
+  val Money: DecimalType = DecimalType(18, 2)
+
+  def dec2(c: Column): Column = c.cast(Money)
+
+  /** Exact sum of a double column (decimal-cast), returned as double. */
+  def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** logit(p) = ln(p / (1 - p)); reference numeric_column.py:118-125.
+    * `eps` clamps p into [eps, 1-eps] like the reference's optional
+    * clamping.
+    */
+  def logit(p: Column): Column = log(p / (lit(1.0) - p))
+
+  def logit(p: Column, eps: Double): Column = {
+    val clamped = least(greatest(p, lit(eps)), lit(1.0 - eps))
+    log(clamped / (lit(1.0) - clamped))
+  }
+
+  /** Reference fill_null (numeric_column.py:56-73): coalesce to scalar. */
+  def fillNull(c: Column, v: Any): Column = coalesce(c, lit(v))
+
+  /** Dot product of two numeric array columns, accumulated in double in
+    * element order (deterministic across engines). Stays codegen'd via
+    * the higher-order `zip_with` + `aggregate`.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Squared L2 norm, double accumulation in element order. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+
+  /** Cosine similarity between two array<numeric> columns. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / sqrt(normSq(a) * normSq(b))
+}

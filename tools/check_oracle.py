@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dir under outDir: load the Spark parquet result and the
+DuckDB result of oracle_sql.json[name], sort columns by name, sort rows,
+compare cell-by-cell (exact for non-floats, tiny epsilon for floats).
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols].copy()
+    df["__key"] = df.apply(lambda r: str([None if (v is None or (isinstance(v, float) and math.isnan(v))) else (round(v, 6) if isinstance(v, float) else str(v)) for v in r]), axis=1)
+    df = df.sort_values(by="__key", kind="mergesort").reset_index(drop=True)
+    return df.drop(columns="__key")
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            if a is None or b is None:
+                return (a is None) and (b is None)
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    except TypeError:
+        pass
+    if isinstance(a, (list, tuple)) or str(type(a)).find("ndarray") >= 0:
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(cells_equal(x, y) for x, y in zip(la, lb))
+    return a == b or str(a) == str(b)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = 0
+    for name in names:
+        spark_df = con.sql(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        if name not in oracles:
+            print(f"ROWSONLY {name}: rows={len(spark_df)}"
+                  + ("  (EMPTY!)" if len(spark_df) == 0 else ""))
+            continue
+        try:
+            ref_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        a, b = canon(spark_df), canon(ref_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i in range(len(a)):
+            for c in a.columns:
+                va, vb = a.at[i, c], b.at[i, c]
+                va = None if (va is None or (isinstance(va, float) and math.isnan(va))) else va
+                vb = None if (vb is None or (isinstance(vb, float) and math.isnan(vb))) else vb
+                if not cells_equal(va, vb):
+                    bad = (i, c, va, vb)
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
