@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Q
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Dedup + similarity-search queries (the LLM-pipeline core).
+  *
+  * The harness corpora contain injected word-level near-duplicates
+  * (3-gram Jaccard ≈ 0.99 pairs) but no exact duplicates and no
+  * embedding near-duplicates — so exact-dedup and cosine queries first
+  * union in deterministic clones/perturbations (reproduced identically
+  * by the oracle SQL), then run the discovery operator.
+  */
+object DedupSim {
+
+  /** documents ∪ clone of every 10th doc (new ids +100000). */
+  private def dupCorpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** embeddings ∪ perturbed copy of every 5th vector (ids +100000):
+    * component j scaled by 1 + 0.1·((37j mod 19)−9)/9 — deterministic
+    * double arithmetic, cosine ≈ 0.998 against the original.
+    */
+  private def nearDupVectors(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+    e.unionByName(
+      e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("e"), (x, i) =>
+            x * (lit(1.0) + lit(0.1) *
+              (((i + 1) * 37 % 19 - 9).cast(DoubleType) / lit(9.0)))).as("e")))
+  }
+
+  private val q70DedupExact: Q = (s, d) =>
+    Dedup.exactGroups(dupCorpus(s, d), "doc_id", "text")
+      .filter(col("n_copies") >= 2)
+      .orderBy("content_hash")
+
+  private val q71MinhashLsh: Q = (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8, numHashes = 48, bands = 12)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+      .orderBy("id_a", "id_b")
+
+  private val q72Simhash: Q = (s, d) =>
+    Dedup.simhashGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("sh16")
+
+  private val q73NgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "lang",
+        n = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+      .orderBy("id_a", "id_b")
+
+  private val q74CosineNearDup: Q = (s, d) =>
+    Dedup.cosineNearDupPairs(nearDupVectors(s, d), "vec_id", "e", threshold = 0.99)
+      .orderBy("id_a", "id_b")
+
+  private val q75SimilarityTopK: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", k = 5)
+      .select("qid", "rank", "nid", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  private val q76LshNearDup: Q = (s, d) =>
+    Similarity.lshNearDupPairs(nearDupVectors(s, d), "vec_id", "e",
+        dim = 64, nPlanes = 8, threshold = 0.99)
+      .select("id_a", "id_b", "bucket", "cos")
+      .orderBy("id_a", "id_b")
+
+  val defs: Map[String, Q] = Map(
+    "q70_dedup_exact" -> q70DedupExact,
+    "q71_dedup_minhash_lsh" -> q71MinhashLsh,
+    "q72_dedup_simhash" -> q72Simhash,
+    "q73_dedup_ngram_jaccard" -> q73NgramJaccard,
+    "q74_dedup_cosine" -> q74CosineNearDup,
+    "q75_similarity_topk" -> q75SimilarityTopK,
+    "q76_similarity_lsh" -> q76LshNearDup)
+
+  private val h = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+
+  /** Shared oracle CTE: word-3-gram distinct shingles per doc. */
+  private val shinglesCte =
+    """WITH docs AS (SELECT doc_id, lang, str_split(text, ' ') w FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |    list_distinct([array_to_string(w[i:i+2], ' ')
+      |      for i in range(1, greatest(len(w) - 2, 1) + 1)]) s
+      |  FROM docs)""".stripMargin
+
+  /** Shared oracle CTE: base + perturbed double vectors. */
+  private val vecCte =
+    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+      |    FROM embeddings),
+      |vecs AS (
+      |  SELECT vec_id, e FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    [e[j] * (1.0 + 0.1 * (((j * 37 % 19) - 9)::DOUBLE / 9.0)) for j in range(1, len(e) + 1)]
+      |  FROM base WHERE vec_id % 5 = 0)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q70_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS kept_id, count(*) AS n_copies
+        |FROM corpus GROUP BY md5(text) HAVING count(*) >= 2
+        |ORDER BY content_hash""".stripMargin,
+    "q71_dedup_minhash_lsh" ->
+      s"""$shinglesCte,
+         |sig AS (SELECT doc_id, s,
+         |    [list_min(list_transform(s, x -> ${h.format("i::VARCHAR || '|' || x")}))
+         |      for i in range(0, 48)] sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, s, b,
+         |    array_to_string(sig[b*4+1 : b*4+4], ',') bkey
+         |  FROM sig, (SELECT unnest(range(0, 12)) b) bs),
+         |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b,
+         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)) jac
+         |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+         |SELECT id_a, id_b, round(jac, 6) AS jac FROM pairs
+         |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "q72_dedup_simhash" ->
+      s"""WITH docs AS (SELECT doc_id, list_distinct(str_split(text, ' ')) dw FROM documents),
+         |sh AS (SELECT doc_id,
+         |    list_sum(list_transform(range(0, 16), b ->
+         |      CASE WHEN list_sum(list_transform(dw, wd ->
+         |          CASE WHEN ((${h.format("wd")} >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+         |      THEN (1::BIGINT << b) ELSE 0 END))::BIGINT sh16
+         |  FROM docs)
+         |SELECT sh16, count(*) AS n_docs, min(doc_id) AS min_id
+         |FROM sh GROUP BY sh16 HAVING count(*) >= 2 ORDER BY sh16""".stripMargin,
+    "q73_dedup_ngram_jaccard" ->
+      s"""$shinglesCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) AS jac
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q74_dedup_cosine" ->
+      s"""$vecCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) AS cos
+         |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q75_similarity_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |    FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+        |sims AS (SELECT qid, e.vec_id AS nid,
+        |    list_dot_product(qv, v) / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS cos
+        |  FROM q JOIN e ON e.vec_id <> qid),
+        |ranked AS (SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, nid ASC) AS rank
+        |  FROM sims)
+        |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "q76_similarity_lsh" ->
+      s"""$vecCte,
+         |dotted AS (SELECT vec_id, e,
+         |    list_transform(range(0, 8), p ->
+         |      list_sum(list_transform(range(1, 65), j ->
+         |        e[j] * CASE WHEN ${h.format("p::VARCHAR || ',' || j::VARCHAR")} % 2 = 1
+         |               THEN 1.0 ELSE -1.0 END))) dots
+         |  FROM vecs),
+         |bucketed AS (SELECT vec_id, e,
+         |    list_sum(list_transform(range(0, 8), p ->
+         |      CASE WHEN dots[p+1] >= 0 THEN pow(2, p)::BIGINT ELSE 0 END))::BIGINT bucket
+         |  FROM dotted)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+         |  list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) AS cos
+         |FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin)
+}

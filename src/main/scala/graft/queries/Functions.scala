@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Q
+import graft.sources.Tables
+
+/** Scalar-function surface (SURVEY.md §2.2: filter algebra, math, string,
+  * date/time, array + higher-order, JSON, explode/generators).
+  *
+  * Every query is a full-table scan + narrow per-row expressions (no
+  * shuffle except the final small aggregation/sort), all inside
+  * whole-stage codegen — the shape that scales linearly with input.
+  */
+object Functions {
+
+  /** Full predicate algebra in one filter: =, <>, <, >=, IN, BETWEEN,
+    * LIKE, AND/OR/NOT, isNull — pushed to the parquet scan where
+    * possible (PushedFilters), evaluated vectorized otherwise.
+    */
+  private val q50FilterPredicates: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(5, 45) &&
+          !(col("l_linestatus") === "O") &&
+          (col("l_shipdate") >= "1994-01-01" || col("l_discount") > 0.08) &&
+          col("l_returnflag").isNotNull &&
+          col("l_linestatus").like("F%"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Math function battery over numeric columns (exp/sqrt/abs/round/
+    * pow/floor/ceil + reference log); rounded for cross-engine compare.
+    */
+  private val q51MathFuncs: Q = (s, d) => {
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+        round(exp(col("p_size").cast(DoubleType) / lit(10.0)), 6).as("exp_size"),
+        abs(col("p_size") - 25).as("abs_dev"),
+        round(pow(col("p_retailprice"), 0.5) * lit(2.0), 6).as("pow_price"),
+        floor(col("p_retailprice")).cast(LongType).as("floor_price"),
+        ceil(col("p_retailprice")).cast(LongType).as("ceil_price"),
+        round(log(col("p_retailprice") + lit(1.0)), 6).as("ln_price"))
+      .orderBy("p_partkey")
+  }
+
+  /** String function battery: length, case, substring, concat, trim,
+    * replace, position, lpad, split-count, regexp extract/replace.
+    */
+  private val q52StringFuncs: Q = (s, d) => {
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        length(col("p_name")).as("name_len"),
+        upper(col("p_brand")).as("brand_up"),
+        lower(col("p_type")).as("type_lo"),
+        substring(col("p_name"), 1, 8).as("name_pre"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(lit("  x  ")).as("trimmed"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        instr(col("p_type"), "a").as("a_pos"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+        size(split(col("p_name"), " ")).as("n_words"))
+      .orderBy("p_partkey")
+  }
+
+  /** Date/time functions over orders + lineitem timestamps. */
+  private val q53DateFuncs: Q = (s, d) => {
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_99"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Array functions over split document text: size, contains, distinct,
+    * element_at, slice, sort, union/intersect cardinalities.
+    */
+  private val q54ArrayFuncs: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        array_contains(col("w"), "spark").as("has_spark"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        element_at(col("w"), 1).as("first_w"),
+        element_at(col("w"), -1).as("last_w"),
+        concat_ws(" ", slice(col("w"), 1, 3)).as("first3"),
+        element_at(sort_array(array_distinct(col("w"))), 1).as("min_w"),
+        size(array_intersect(col("w"), array(lit("spark"), lit("data"), lit("query")))).as("n_kw"))
+      .orderBy("doc_id")
+  }
+
+  /** Higher-order functions (the reference's velox.py transform lives
+    * here): transform, filter, aggregate, zip_with over the embedding
+    * vectors — per-row loops fully inside codegen, zero shuffle.
+    */
+  private val q55HigherOrder: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)), 6).as("norm_sq"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        round(element_at(transform(col("embedding"), x => x.cast(DoubleType) * 2.0), 1), 6).as("first_x2"),
+        round(aggregate(zip_with(col("embedding"), reverse(col("embedding")),
+            (a, b) => a.cast(DoubleType) * b.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x), 6).as("rev_dot"))
+      .orderBy("vec_id")
+  }
+
+  /** JSON functions over events.props ({"k": int}): extraction, cast,
+    * aggregation of extracted values.
+    */
+  private val q56JsonFuncs: Q = (s, d) => {
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** Generators: explode to a word histogram (top words), posexplode
+    * keeps the element index (serialized `pos:word` for cross-engine
+    * compare).
+    */
+  private val q57Explode: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+  }
+
+  private val q58PosExplode: Q = (s, d) => {
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), concat_ws(":", col("pos"), col("col")).as("pos_word"))
+      .orderBy("doc_id", "pos_word")
+  }
+
+  /** Map functions: build word→len map per doc, read it back via keys. */
+  private val q59MapFuncs: Q = (s, d) => {
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .withColumn("w3", slice(sort_array(array_distinct(split(col("text"), " "))), 1, 3))
+      .withColumn("m", map_from_arrays(col("w3"), transform(col("w3"), w => length(w))))
+      .select(
+        col("doc_id"),
+        size(col("m")).as("m_size"),
+        concat_ws(",", map_keys(col("m"))).as("keys_csv"),
+        aggregate(map_values(col("m")), lit(0), (a, x) => a + x).as("sum_lens"),
+        element_at(col("m"), element_at(col("w3"), 1)).as("first_len"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q50_filter_predicates" -> q50FilterPredicates,
+    "q51_math_funcs" -> q51MathFuncs,
+    "q52_string_funcs" -> q52StringFuncs,
+    "q53_date_funcs" -> q53DateFuncs,
+    "q54_array_funcs" -> q54ArrayFuncs,
+    "q55_higher_order" -> q55HigherOrder,
+    "q56_json_funcs" -> q56JsonFuncs,
+    "q57_explode" -> q57Explode,
+    "q58_posexplode" -> q58PosExplode,
+    "q59_map_funcs" -> q59MapFuncs)
+
+  val oracles: Map[String, String] = Map(
+    "q50_filter_predicates" ->
+      """SELECT l_returnflag, count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 5 AND 45
+        |  AND NOT (l_linestatus = 'O')
+        |  AND (l_shipdate >= TIMESTAMP '1994-01-01' OR l_discount > 0.08)
+        |  AND l_returnflag IS NOT NULL AND l_linestatus LIKE 'F%'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q51_math_funcs" ->
+      """SELECT p_partkey,
+        |  round(sqrt(p_retailprice), 6) AS sqrt_price,
+        |  round(exp(CAST(p_size AS DOUBLE) / 10.0), 6) AS exp_size,
+        |  abs(p_size - 25) AS abs_dev,
+        |  round(pow(p_retailprice, 0.5) * 2.0, 6) AS pow_price,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+        |  round(ln(p_retailprice + 1.0), 6) AS ln_price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q52_string_funcs" ->
+      """SELECT p_partkey,
+        |  length(p_name) AS name_len,
+        |  upper(p_brand) AS brand_up,
+        |  lower(p_type) AS type_lo,
+        |  substr(p_name, 1, 8) AS name_pre,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  trim('  x  ') AS trimmed,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  strpos(p_type, 'a') AS a_pos,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        |  len(str_split(p_name, ' ')) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q53_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS dom, dayofweek(o_orderdate) + 1 AS dow,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  epoch(o_orderdate)::BIGINT AS epoch_s,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q54_array_funcs" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents)
+        |SELECT doc_id,
+        |  len(w) AS n_words,
+        |  list_contains(w, 'spark') AS has_spark,
+        |  len(list_distinct(w)) AS n_distinct,
+        |  w[1] AS first_w, w[-1] AS last_w,
+        |  array_to_string(w[1:3], ' ') AS first3,
+        |  list_sort(list_distinct(w))[1] AS min_w,
+        |  len(list_intersect(w, ['spark','data','query'])) AS n_kw
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q55_higher_order" ->
+      """WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(e, x -> x * x)), 6) AS norm_sq,
+        |  len(list_filter(e, x -> x > 0)) AS n_pos,
+        |  round(e[1] * 2.0, 6) AS first_x2,
+        |  round(list_sum(list_transform(range(1, len(e) + 1),
+        |    i -> e[i] * e[len(e) - i + 1])), 6) AS rev_dot
+        |FROM t ORDER BY vec_id""".stripMargin,
+    "q56_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q57_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "q58_posexplode" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, unnest([(i - 1)::VARCHAR || ':' || w[i] for i in range(1, len(w) + 1)]) AS pos_word
+        |FROM t ORDER BY doc_id, pos_word""".stripMargin,
+    "q59_map_funcs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_sort(list_distinct(str_split(text, ' ')))[1:3] w3
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  len(w3) AS m_size,
+        |  array_to_string(w3, ',') AS keys_csv,
+        |  list_sum(list_transform(w3, w -> length(w)))::INT AS sum_lens,
+        |  length(w3[1]) AS first_len
+        |FROM t ORDER BY doc_id""".stripMargin)
+}

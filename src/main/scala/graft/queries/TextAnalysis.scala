@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Q
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the documents table: corpus statistics,
+  * heuristic language ID, token counting, document fingerprinting,
+  * quality scoring. All per-row expression work + one small aggregation —
+  * the 100 TB shape (scan-parallel, shuffle only group keys).
+  */
+object TextAnalysis {
+
+  private val q60TextStats: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("w", words(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("sum_words"),
+        round(avg(size(col("w")).cast(DoubleType)), 6).as("avg_words"),
+        round(avg(size(array_distinct(col("w"))).cast(DoubleType) /
+          size(col("w")).cast(DoubleType)), 6).as("avg_diversity"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        max(size(col("w"))).as("max_words"))
+      .orderBy("lang")
+  }
+
+  private val q61LangId: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("w", words(col("text")))
+      .withColumn("predicted", langId(col("text"), col("w")))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  private val q62TokenCount: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCountWs(col("text")).cast("long")).as("ws_tokens"),
+        sum(tokenCountBpe(col("text")).cast("long")).as("bpe_tokens"),
+        max(tokenCountWs(col("text"))).as("max_ws"))
+      .orderBy("source")
+  }
+
+  /** Fingerprint clustering: docs sharing a bag-of-words fingerprint
+    * (reorder/repeat-invariant duplicates) + their min-shingle-hash
+    * (winnowing-style) fingerprint count.
+    */
+  private val q63Fingerprint: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("w", words(col("text")))
+      .withColumn("fp", bowFingerprint(col("w")))
+      .withColumn("minfp", minShingleFingerprint(wordShingles(col("w"), 3)))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        countDistinct(col("minfp")).as("n_minfp"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fp")
+  }
+
+  private val q64Quality: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("w", words(col("text")))
+      .withColumn("q", qualityScore(col("text"), col("w")))
+      .groupBy("source")
+      .agg(
+        round(avg(col("q")), 6).as("avg_quality"),
+        count(when(col("q") >= 0.7, 1)).as("n_high"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q60_text_stats" -> q60TextStats,
+    "q61_lang_id" -> q61LangId,
+    "q62_token_count" -> q62TokenCount,
+    "q63_fingerprint" -> q63Fingerprint,
+    "q64_quality_score" -> q64Quality)
+
+  private val hashSql = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+
+  val oracles: Map[String, String] = Map(
+    "q60_text_stats" ->
+      """WITH t AS (SELECT lang, text, str_split(text, ' ') w FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(len(w)::BIGINT) AS sum_words,
+        |  round(avg(len(w)::DOUBLE), 6) AS avg_words,
+        |  round(avg(len(list_distinct(w))::DOUBLE / len(w)::DOUBLE), 6) AS avg_diversity,
+        |  sum(length(text)::BIGINT) AS sum_chars,
+        |  max(len(w)) AS max_words
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q61_lang_id" ->
+      """WITH t AS (SELECT lang, text, str_split(text, ' ') w FROM documents),
+        |scored AS (SELECT lang,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) cjk,
+        |    len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) c_en,
+        |    len(list_filter(w, x -> list_contains(['el','la','de','los','en','y','que'], x))) c_es,
+        |    len(list_filter(w, x -> list_contains(['le','la','les','des','et','un','que'], x))) c_fr,
+        |    len(list_filter(w, x -> list_contains(['der','die','das','und','ein','zu','mit'], x))) c_de
+        |  FROM t),
+        |p AS (SELECT lang,
+        |    CASE WHEN cjk > 0 THEN 'zh'
+        |      WHEN c_en > 0 AND c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+        |      WHEN c_es > 0 AND c_es >= greatest(c_fr, c_de) THEN 'es'
+        |      WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+        |      WHEN c_de > 0 THEN 'de' ELSE 'und' END predicted
+        |  FROM scored)
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q62_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(len(str_split(text, ' '))::BIGINT) AS ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))::BIGINT) AS bpe_tokens,
+        |  max(len(str_split(text, ' '))) AS max_ws
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q63_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+         |f AS (SELECT doc_id,
+         |    ${hashSql.format("array_to_string(list_sort(list_distinct(w)), ' ')")} fp,
+         |    list_min(list_transform(
+         |      list_distinct([array_to_string(w[i:i+2], ' ')
+         |        for i in range(1, greatest(len(w) - 2, 1) + 1)]),
+         |      x -> ${hashSql.format("x")})) minfp
+         |  FROM t)
+         |SELECT fp, count(*) AS n_docs, min(doc_id) AS min_id,
+         |  count(DISTINCT minfp) AS n_minfp
+         |FROM f GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
+    "q64_quality_score" ->
+      """WITH t AS (SELECT source, text, str_split(text, ' ') w FROM documents),
+        |q AS (SELECT source,
+        |    least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |    + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.3
+        |    + ((length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE + 1.0)
+        |       / (length(text)::DOUBLE + 1.0)) * 0.3 AS q
+        |  FROM t)
+        |SELECT source, round(avg(q), 6) AS avg_quality,
+        |  count(CASE WHEN q >= 0.7 THEN 1 END) AS n_high, count(*) AS n_docs
+        |FROM q GROUP BY source ORDER BY source""".stripMargin)
+}
