@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.LogitExpr
+
+/** Injects graft's native functions into every session when configured
+  * with `spark.sql.extensions=graft.GraftExtensions` (cluster-wide
+  * installation path; ad-hoc sessions can call GraftRegistry.register).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_logit"),
+      new ExpressionInfo(classOf[LogitExpr].getName, "graft_logit"),
+      (exprs: Seq[Expression]) => LogitExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs.head, org.apache.spark.sql.types.DoubleType))))
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the events schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each transform takes any streaming (or batch) DataFrame with that
+  * schema — sources are pluggable (`readEventStream` for parquet
+  * directories, MemoryStream in tests, Kafka in production). Watermarks
+  * bound state: at 100 TB/day the state store only holds the watermark
+  * horizon, not history.
+  */
+object StreamingOps {
+
+  /** File-based streaming source over a parquet events directory. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  }
+
+  /** Tumbling-window counts with watermark-based late-data drop.
+    * Append-mode compatible: windows finalize once the watermark passes.
+    */
+  def tumblingCounts(events: DataFrame, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.windowCol(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_v"))
+
+  /** Sliding-window aggregation (width, slide) with watermark. */
+  def slidingCounts(events: DataFrame, width: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Session windows per user (inactivity gap), watermarked. */
+  def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * state is bounded by the horizon, the standard at-scale dedup.
+    */
+  def dedupStream(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserRunning(userId: Long, nEvents: Long, sumValue: Double, lastTs: Timestamp)
+
+  /** Custom stateful aggregation via flatMapGroupsWithState: running
+    * per-user totals emitted on every update (the reference's eager
+    * "running state" reimagined as bounded keyed state).
+    */
+  def userRunningTotals(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Timestamp, Double)],
+         state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0, new Timestamp(0)))
+          val batch = rows.toSeq
+          val next = UserRunning(
+            userId,
+            prev.nEvents + batch.size,
+            prev.sumValue + batch.map(_._3).sum,
+            batch.map(_._2).maxByOption(_.getTime).getOrElse(prev.lastTs))
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
+  // Spark's `window` function clashes with the `window` param name above.
+  private object functions {
+    def windowCol(c: org.apache.spark.sql.Column, w: String) =
+      org.apache.spark.sql.functions.window(c, w)
+  }
+}

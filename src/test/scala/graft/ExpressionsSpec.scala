@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftRegistry
+import graft.operators.{Multimodal, Similarity}
+
+class ExpressionsSpec extends SparkSpec {
+
+  test("LogitExpr: torch edge semantics (NaN/Inf, not NULL) and interior parity") {
+    GraftRegistry.register(spark)
+    import spark.implicits._
+    val out = Seq(0.2, 0.5, 0.9, 0.0, 1.0, -0.5).toDF("p")
+      .selectExpr("graft_logit(p) as l").collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - math.log(0.25)) < 1e-12)
+    assert(out(1) == 0.0)
+    assert(math.abs(out(2) - math.log(9.0)) < 1e-9)
+    assert(out(3).isNegInfinity)        // logit(0) = -inf (torch), composed log would be NULL
+    assert(out(4).isPosInfinity)        // p=1 -> 1/0 -> +inf
+    assert(out(5).isNaN)                // log of negative -> NaN (torch semantics)
+  }
+
+  test("GeoMean UDAF matches exp(mean(ln)) and splits across partitions") {
+    GraftRegistry.register(spark)
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 4.0, 8.0)
+    val got = xs.toDF("x").repartition(3)
+      .agg(expr("graft_geomean(x)")).collect()(0).getDouble(0)
+    val want = math.exp(xs.map(math.log).sum / xs.size)
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("multimodal decode: deterministic features through mapPartitions") {
+    import spark.implicits._
+    val docs = Seq((7L, "srcA", "hello world of binary payloads")).toDF("doc_id", "source", "text")
+    val f = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(docs)).collect()(0)
+    assert(f.nBytes == 30L)
+    assert(f.frameHex == "hello world of b".getBytes("UTF-8").map(b => f"$b%02X").mkString)
+    assert(f.width == (7 % 8) * 160 + 320 && f.height == (7 % 8) * 90 + 180)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("hello world of binary payloads".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(f.checksum == java.lang.Long.parseLong(hex.take(15), 16))
+  }
+
+  test("cosine top-k: exact neighbors on a constructed corpus") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("nid")).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+}

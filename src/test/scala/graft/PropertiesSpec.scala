@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based laws from SURVEY.md §5.3 (raw scalacheck generators,
+  * fixed seeds for reproducibility): slice composition, set-op
+  * cardinalities, the velox transform law.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("slice composition: offset(a).limit(40).offset(c) == offset(a+c).limit(40-c)") {
+    import spark.implicits._
+    val df = spark.range(200).toDF("i").orderBy("i")
+    samples(Gen.zip(Gen.choose(0, 50), Gen.choose(0, 20)), 8).foreach { case (a, c) =>
+      val nested = df.offset(a).limit(40).offset(c).collect().map(_.getLong(0)).toSeq
+      val direct = df.offset(a + c).limit(40 - c).collect().map(_.getLong(0)).toSeq
+      assert(nested == direct, s"a=$a c=$c")
+    }
+  }
+
+  test("union cardinality and except-removes-all-matches") {
+    import spark.implicits._
+    val gl = Gen.listOfN(30, Gen.choose(0, 10))
+    samples(Gen.zip(gl, Gen.listOfN(20, Gen.choose(0, 10))), 5).foreach { case (xs, ys) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      assert(a.union(b).count() == xs.size + ys.size)
+      assert(a.except(b).collect().map(_.getInt(0)).toSet == (xs.toSet -- ys.toSet))
+    }
+  }
+
+  test("transform ≡ map over rows (velox combinator law)") {
+    import spark.implicits._
+    samples(Gen.listOfN(15, Gen.choose(-100L, 100L)), 10).foreach { xs =>
+      val got = Seq(xs).toDF("xs")
+        .select(transform(col("xs"), x => x * 2 + 1).as("ys"))
+        .collect()(0).getSeq[Long](0)
+      assert(got == xs.map(x => x * 2 + 1))
+    }
+  }
+
+  test("null propagation: x + NULL = NULL for every numeric op (presence intersection)") {
+    import spark.implicits._
+    val df = Seq((Some(5L), Option.empty[Long])).toDF("x", "n")
+    val r = df.select(
+      (col("x") + col("n")).as("add"), (col("x") * col("n")).as("mul"),
+      (col("x") / col("n")).as("div"), (col("x") - col("n")).as("sub")).collect()(0)
+    (0 to 3).foreach(i => assert(r.isNullAt(i)))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** Structured Streaming semantics over the events schema: windowed
+  * aggregation with watermark late-data drop, streaming dedup, and
+  * custom keyed state (SURVEY.md §2.2 Streaming row).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  test("tumbling window with watermark drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("append").start()
+
+    input.addData(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(4), 1, "click", 2.0),
+      Ev(3, ts(12), 2, "click", 3.0))
+    q.processAllAvailable()
+    // watermark now 10:12 - 5min = 10:07 -> [10:00,10:10) can finalize
+    input.addData(Ev(4, ts(25), 1, "click", 4.0))
+    q.processAllAvailable()
+    // late event inside already-finalized window: must be dropped
+    input.addData(Ev(5, ts(2), 3, "click", 99.0))
+    q.processAllAvailable()
+    input.addData(Ev(6, ts(45), 1, "click", 1.0))  // push watermark way past everything
+    q.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .select(col("w_start"), col("n"), col("sum_v")).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val w0 = rows.find(_._1.startsWith("2024-01-01 10:00")).get
+    assert(w0._2 == 2 && w0._3 == 3.0, s"late event must not be counted: $rows")
+    assert(rows.exists(_._1.startsWith("2024-01-01 10:10")))
+    assert(rows.exists(_._1.startsWith("2024-01-01 10:20")))
+  }
+
+  test("streaming dedup within watermark suppresses repeated event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.dedupStream(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    input.addData(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0),
+      Ev(2, ts(2), 1, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Ev(1, ts(3), 1, "click", 1.0), Ev(3, ts(4), 1, "click", 3.0))
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n == 3, s"expected ids {1,2,3} once each, got $n rows")
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.userRunningTotals(input.toDF())
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    input.addData(Ev(1, ts(1), 7, "click", 1.5), Ev(2, ts(2), 7, "click", 2.5))
+    q.processAllAvailable()
+    input.addData(Ev(3, ts(3), 7, "click", 4.0), Ev(4, ts(3), 8, "view", 10.0))
+    q.processAllAvailable()
+    val byUser = spark.table("running")
+      .groupBy("userId").agg(max("nEvents").as("n"), max("sumValue").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    q.stop()
+    assert(byUser(7L) == ((3L, 8.0)))
+    assert(byUser(8L) == ((1L, 10.0)))
+  }
+
+  test("session window in streaming mode merges within-gap events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.sessionCounts(input.toDF(), "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    input.addData(
+      Ev(1, ts(1), 1, "c", 1.0), Ev(2, ts(3), 1, "c", 1.0),   // one session
+      Ev(3, ts(20), 1, "c", 1.0),                              // second session
+      Ev(4, ts(59), 9, "c", 1.0))                              // push watermark
+    q.processAllAvailable()
+    input.addData(Ev(5, ts(59), 9, "c", 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sessions")
+      .filter(col("user_id") === 1).select("session_start", "n_events")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    q.stop()
+    assert(sessions == Set(("2024-01-01 10:01:00.0", 2L), ("2024-01-01 10:20:00.0", 1L)),
+      s"got $sessions")
+  }
+}

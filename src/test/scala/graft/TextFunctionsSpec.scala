@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+class TextFunctionsSpec extends SparkSpec {
+
+  test("wordShingles builds distinct n-grams") {
+    import spark.implicits._
+    val out = Seq("a b c d a b c d").toDF("t")
+      .select(wordShingles(words(col("t")), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(out.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("mdHash is deterministic and in [0, 2^60)") {
+    import spark.implicits._
+    val out = Seq("x", "x", "y").toDF("s").select(mdHash(col("s")).as("h")).collect()
+    assert(out(0).getLong(0) == out(1).getLong(0))
+    assert(out(0).getLong(0) != out(2).getLong(0))
+    assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < (1L << 60)))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d")))
+      .toDF("x", "y", "z")
+    val r = df.select(jaccard(col("x"), col("y")), jaccard(col("x"), col("z"))).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("langId classifies stopword-bearing and CJK snippets") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat sat on the mat and looked to the door",
+      "el perro corre en la casa de los vecinos",
+      "le chien et les chats des voisins",
+      "der hund und die katze mit dem ball",
+      "你好世界 hello",
+      "xyzzy plugh").toDF("t")
+    val out = df.select(langId(col("t"), words(col("t"))).as("l")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "fr", "de", "zh", "und"))
+  }
+
+  test("minhash LSH finds a known near-dup pair, skips unrelated docs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical word sets collide, disjoint sets (almost surely) differ") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha alpha"),  // same word set, reordered+repeat
+      (3L, "completely different words entirely here"))
+      .toDF("id", "text")
+    val out = df.select(col("id"), words(col("text")).as("w"))
+      .withColumn("sh", simhash16("w")).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("quality score stays in [0,1] and rewards diversity") {
+    import spark.implicits._
+    val df = Seq("a a a a a a a a", "the quick brown fox jumps over lazy dogs").toDF("t")
+    val out = df.select(qualityScore(col("t"), words(col("t"))).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(1) > out(0))
+  }
+
+  test("exact dedup groups copies and keeps min id") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "unique")).toDF("id", "text")
+    val g = Dedup.exactGroups(df, "id", "text")
+      .filter(col("n_copies") >= 2).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("kept_id") == 1L && g(0).getAs[Long]("n_copies") == 2L)
+  }
+}
