@@ -26,6 +26,16 @@ object TextFunctions {
   def mdHash(seed: Column, c: Column): Column =
     mdHash(concat(seed.cast("string"), lit("|"), c))
 
+  /** Second independent 48-bit hash from the SAME md5 digest (hex chars
+    * 16..27) — one digest yields the (h1, h2) pair for the
+    * Kirsch-Mitzenmacher double-hashing family h_i = h1 + i·h2, giving
+    * k MinHash functions for one md5 instead of k.
+    * Bounds: h1 < 2^60, i·h2 < 64·2^48 = 2^54 — no long overflow
+    * (ANSI mode would throw on it).
+    */
+  def mdHash2(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 16, 12), 16, 10).cast(LongType)
+
   /** Whitespace tokenization. */
   def words(text: Column): Column = split(text, " ")
 
@@ -38,15 +48,23 @@ object TextFunctions {
         sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(w, i, lit(n)))))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum hash over the shingle set. Computed entirely inside the
-    * row (transform + array_min) — the classic explode/groupBy
-    * formulation shuffles |shingles| rows per doc; this shuffles zero.
+  /** Per-shingle (h1, h2) hash pairs — materialize this ONCE as a column,
+    * then feed [[minhashSignature]]: one md5 per shingle total.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def shingleHashPairs(shingles: Column): Column =
+    transform(shingles, s => struct(mdHash(s).as("h1"), mdHash2(s).as("h2")))
+
+  /** MinHash signature over pre-hashed shingles: member i of the
+    * double-hashing family is min over shingles of h1 + i·h2. Computed
+    * entirely inside the row (transform + array_min) — the classic
+    * explode/groupBy formulation shuffles |shingles| rows per doc; this
+    * shuffles zero.
+    */
+  def minhashSignature(hashPairs: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => mdHash(i, s))))
+      i => array_min(transform(hashPairs, h =>
+        h.getField("h1") + i.cast(LongType) * h.getField("h2"))))
 
   /** LSH band keys from a MinHash signature: `bands` strings, each the
     * concatenation of `rowsPerBand` consecutive signature entries. Docs
@@ -62,6 +80,15 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
+
+  /** Single-pass Jaccard on pre-distinct arrays: |∩| / (|a|+|b|−|∩|) —
+    * one intersect, no union materialization. Pair with long-hash
+    * arrays (cheap equality) in the pairwise hot path.
+    */
+  def jaccardFast(a: Column, b: Column): Column = {
+    val ni = size(array_intersect(a, b)).cast(DoubleType)
+    ni / (size(a).cast(DoubleType) + size(b).cast(DoubleType) - ni)
+  }
 
   /** 16-bit SimHash over the distinct words of a document: bit b is set
     * iff the majority of word-hashes have bit b set. Near-identical docs

@@ -40,18 +40,26 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 48, bands: Int = 12): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    // hs (one md5/shingle) and the hash SET (h1 only, for exact Jaccard)
+    // are separate projections so the 48 signature members reuse them.
     val sh = df.select(
       col(idCol).as("id"),
       wordShingles(words(col(textCol)), 3).as("sh"))
+      .withColumn("hs", shingleHashPairs(col("sh")))
+      .withColumn("hset", transform(col("hs"), h => h.getField("h1")))
     val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sh"),
+      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+      .select(col("id"), col("hset"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+      // materialize once: both self-join sides read this, halving the
+      // signature computation (at cluster scale: a persisted/bucketed
+      // intermediate table)
+      .persist()
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("hset").as("h_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("hset").as("h_b"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .select(col("id_a"), col("id_b"), jaccardFast(col("h_a"), col("h_b")).as("jac"))
       .distinct()
       .filter(col("jac") >= threshold)
   }
@@ -73,15 +81,61 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // Jaccard over 60-bit shingle hashes. Like cosineNearDupPairs, the
+    // pair loop is a branch-light numeric kernel that the declarative
+    // join evaluates interpreted (~6µs/pair) — so: shingle-hash each doc
+    // declaratively (scan-parallel), then broadcast the per-block sorted
+    // hash arrays and merge-count intersections in mapPartitions.
+    // Exact prunes before touching arrays: id order + the size band
+    // (J ≥ t ⇒ min/max ≥ t). Distinct-intersection over sorted arrays
+    // by two-pointer with duplicate skip — identical counts to
+    // array_intersect/list_intersect.
+    val spark = df.sparkSession
+    import spark.implicits._
     val sh = df.select(
-      col(blockCol).as("blk"), col(idCol).as("id"),
-      wordShingles(words(col(textCol)), n).as("sh"))
-    val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= threshold)
+        col(blockCol).cast("string").as("blk"), col(idCol).cast("long").as("id"),
+        sort_array(transform(wordShingles(words(col(textCol)), n), s => mdHash(s))).as("hset"))
+      .as[(String, Long, Array[Long])]
+      .persist()  // consumed twice: the broadcast collect + the pair scan
+    val byBlock: Map[String, Array[(Long, Array[Long])]] =
+      sh.collect().groupBy(_._1)
+        .map { case (blk, rows) => blk -> rows.map(r => (r._2, r._3)).sortBy(_._1) }
+    val bc = spark.sparkContext.broadcast(byBlock)
+    sh.mapPartitions { iter =>
+      iter.flatMap { case (blk, ida, ha) =>
+        val block = bc.value(blk)
+        val na = ha.length
+        var lo = 0
+        var hi = block.length
+        while (lo < hi) {  // first index with id > ida
+          val mid = (lo + hi) >>> 1
+          if (block(mid)._1 <= ida) lo = mid + 1 else hi = mid
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var k = lo
+        while (k < block.length) {
+          val (idb, hb) = block(k)
+          val nb = hb.length
+          if (math.min(na, nb).toDouble >= threshold * math.max(na, nb).toDouble) {
+            var i = 0; var j = 0; var cnt = 0
+            while (i < na && j < nb) {
+              val x = ha(i); val y = hb(j)
+              if (x < y) i += 1
+              else if (x > y) j += 1
+              else {
+                cnt += 1
+                while (i < na && ha(i) == x) i += 1
+                while (j < nb && hb(j) == x) j += 1
+              }
+            }
+            val jac = cnt.toDouble / (na.toDouble + nb.toDouble - cnt.toDouble)
+            if (jac >= threshold) out += ((ida, idb, jac))
+          }
+          k += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "jac")
   }
 
   /** Embedding near-duplicate pairs by cosine ≥ threshold, brute force
@@ -90,16 +144,55 @@ object Dedup {
     * which is the 100 TB path.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val e = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast(DoubleType)).as("e"))
-    val a = e.select(col("id").as("id_a"), col("e").as("e_a"))
-    val b = e.select(col("id").as("id_b"), col("e").as("e_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (graft.functions.GraftFunctions.dotProduct(col("e_a"), col("e_b")) /
-          sqrt(graft.functions.GraftFunctions.normSq(col("e_a")) *
-            graft.functions.GraftFunctions.normSq(col("e_b")))).as("cos"))
-      .filter(col("cos") >= threshold)
+      dim: Int, threshold: Double): DataFrame = {
+    // Brute-force all-pairs cosine is a dense numeric kernel: per pair
+    // it is 64 fused multiply-adds with ZERO data-dependent branching.
+    // The declarative formulations lose 10-30× here — a nested-loop
+    // join's condition/projection runs interpreted per candidate pair
+    // (BroadcastNestedLoopJoin does not participate in whole-stage
+    // codegen) — so this is the one operator implemented as the
+    // documented last resort: broadcast the corpus (mirroring
+    // BroadcastExchange; 12k × 64 doubles ≈ 6 MB — at larger corpora
+    // you tile the broadcast into blocks), then a primitive-array
+    // mapPartitions kernel the JIT auto-vectorizes. Norms are
+    // precomputed once per row. Sequential j-loop keeps the
+    // accumulation order of the fold (oracle-identical).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("e"))
+      .as[(Long, Array[Double])]
+    val all = e.collect().sortBy(_._1)
+    val ids = all.map(_._1)
+    val vecs = all.map(_._2)
+    val norms = vecs.map { v =>
+      var s = 0.0; var j = 0
+      while (j < dim) { s += v(j) * v(j); j += 1 }; s
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    val n = ids.length
+    e.mapPartitions { iter =>
+      val (bIds, bVecs, bNorms) = bc.value
+      iter.flatMap { case (ida, ea) =>
+        var na = 0.0
+        var j = 0
+        while (j < dim) { na += ea(j) * ea(j); j += 1 }
+        // candidates strictly after ida in the sorted id order
+        var lo = java.util.Arrays.binarySearch(bIds, ida)
+        if (lo < 0) lo = -lo - 1 else lo += 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var k = lo
+        while (k < n) {
+          val eb = bVecs(k)
+          var dot = 0.0
+          j = 0
+          while (j < dim) { dot += ea(j) * eb(j); j += 1 }
+          val cos = dot / math.sqrt(na * bNorms(k))
+          if (cos >= threshold) out += ((ida, bIds(k), cos))
+          k += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "cos")
   }
 }

@@ -5,8 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.GraftFunctions.{dotProduct, normSq}
-import graft.functions.TextFunctions.mdHash
+import graft.functions.GraftFunctions.{dotUnrolled, normSqUnrolled}
 
 /** Approximate / exact nearest-neighbor search over embedding columns.
   *
@@ -15,10 +14,13 @@ import graft.functions.TextFunctions.mdHash
   *    query set against the full corpus — one scan of the corpus, no
   *    corpus-side shuffle except the per-query top-k.
   *  - [[hyperplaneBucket]] + [[lshNearDupPairs]]: random-hyperplane LSH.
-  *    Bucket id = sign pattern of `nPlanes` pseudo-random ±1 hyperplanes
-  *    (derived from the cross-engine md5 hash, so the oracle can
-  *    replicate them). Candidates are bucket-colliding pairs only —
-  *    the O(n²) term drops to Σ bucket².
+  *    Bucket id = sign pattern of `nPlanes` pseudo-random ±1 hyperplanes.
+  *    Candidates are bucket-colliding pairs only — the O(n²) term drops
+  *    to Σ bucket².
+  *
+  * All dot products are dimension-unrolled (straight-line codegen;
+  * higher-order aggregate would fall back to interpretation) and norms
+  * are computed once per row, never per pair.
   */
 object Similarity {
 
@@ -31,38 +33,46 @@ object Similarity {
     * partitionings.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("e_n"))
+      .withColumn("nrm_n", normSqUnrolled(col("e_n"), dim))
     val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("e_q"))
+      .withColumn("nrm_q", normSqUnrolled(col("e_q"), dim))
     val w = Window.partitionBy("qid")
       .orderBy(round(col("cos"), 9).desc, col("nid").asc)
     c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dotProduct(col("e_q"), col("e_n")) /
-          sqrt(normSq(col("e_q")) * normSq(col("e_n")))).as("cos"))
+        (dotUnrolled(col("e_q"), col("e_n"), dim) /
+          sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH bucket id (0 .. 2^nPlanes-1). Plane p's j-th
-    * component is ±1 from bit 0 of mdHash("p,j") — deterministic and
-    * engine-reproducible; production would broadcast a precomputed
-    * plane matrix instead of hashing per element.
+  /** ±1 hyperplane components, precomputed driver-side with the same
+    * cross-engine md5 formula the oracle uses: component j of plane p is
+    * +1 iff bit 0 of the 60-bit md5 hash of "p,j" is 1 (j is 1-based).
+    */
+  private[graft] def planeComponents(dim: Int, nPlanes: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, j0) =>
+      md.reset()
+      val hex = md.digest(s"$p,${j0 + 1}".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id (0 .. 2^nPlanes-1): literal plane
+    * coefficients + unrolled dots — pure straight-line codegen, no
+    * hashing at execution time.
     */
   def hyperplaneBucket(vec: org.apache.spark.sql.Column, dim: Int, nPlanes: Int)
       : org.apache.spark.sql.Column = {
-    val planeDots = transform(
-      sequence(lit(0), lit(nPlanes - 1)),
-      p => aggregate(
-        sequence(lit(1), lit(dim)),
-        lit(0.0),
-        (acc, j) => acc + element_at(vec, j) *
-          when(pmod(mdHash(concat(p.cast("string"), lit(","), j.cast("string"))), lit(2)) === 1, 1.0)
-            .otherwise(-1.0)))
-    aggregate(
-      zip_with(planeDots, sequence(lit(0), lit(nPlanes - 1)),
-        (dot, p) => when(dot >= 0, pow(lit(2.0), p.cast(DoubleType)).cast("long")).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    val planes = planeComponents(dim, nPlanes)
+    (0 until nPlanes).map { p =>
+      val dot = (1 to dim).map(j => element_at(vec, j) * lit(planes(p)(j - 1)))
+        .reduceLeft(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(0L)
+    }.reduceLeft(_ + _)
   }
 
   /** LSH-bucketed near-duplicate pairs: cosine ≥ threshold among pairs
@@ -73,13 +83,15 @@ object Similarity {
       dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
     val e = df.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
       .withColumn("bucket", hyperplaneBucket(col("e"), dim, nPlanes))
-    val a = e.select(col("bucket"), col("id").as("id_a"), col("e").as("e_a"))
-    val b = e.select(col("bucket"), col("id").as("id_b"), col("e").as("e_b"))
+      .withColumn("nrm", normSqUnrolled(col("e"), dim))
+      .persist()
+    val a = e.select(col("bucket"), col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("bucket"), col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("bucket"),
-        (dotProduct(col("e_a"), col("e_b")) /
-          sqrt(normSq(col("e_a")) * normSq(col("e_b")))).as("cos"))
+        (dotUnrolled(col("e_a"), col("e_b"), dim) /
+          sqrt(col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

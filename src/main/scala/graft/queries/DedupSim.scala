@@ -63,7 +63,7 @@ object DedupSim {
       .orderBy("id_a", "id_b")
 
   private val q74CosineNearDup: Q = (s, d) =>
-    Dedup.cosineNearDupPairs(nearDupVectors(s, d), "vec_id", "e", threshold = 0.99)
+    Dedup.cosineNearDupPairs(nearDupVectors(s, d), "vec_id", "e", dim = 64, threshold = 0.99)
       .orderBy("id_a", "id_b")
 
   private val q75SimilarityTopK: Q = (s, d) => {
@@ -122,17 +122,20 @@ object DedupSim {
     "q71_dedup_minhash_lsh" ->
       s"""$shinglesCte,
          |sig AS (SELECT doc_id, s,
-         |    [list_min(list_transform(s, x -> ${h.format("i::VARCHAR || '|' || x")}))
+         |    [list_min(list_transform(s, x ->
+         |      ${h.format("x")} + i * ('0x' || substr(md5(x), 16, 12))::BIGINT))
          |      for i in range(0, 48)] sig
          |  FROM sh),
-         |bands AS (SELECT doc_id, s, b,
+         |hs AS (SELECT doc_id, list_transform(s, x -> ${h.format("x")}) hh FROM sh),
+         |bands AS (SELECT doc_id, b,
          |    array_to_string(sig[b*4+1 : b*4+4], ',') bkey
          |  FROM sig, (SELECT unnest(range(0, 12)) b) bs),
          |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
          |pairs AS (SELECT id_a, id_b,
-         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)) jac
-         |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+         |    len(list_intersect(x.hh, y.hh))::DOUBLE /
+         |      (len(x.hh)::DOUBLE + len(y.hh)::DOUBLE - len(list_intersect(x.hh, y.hh))::DOUBLE) jac
+         |  FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b)
          |SELECT id_a, id_b, round(jac, 6) AS jac FROM pairs
          |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "q72_dedup_simhash" ->
@@ -146,11 +149,14 @@ object DedupSim {
          |SELECT sh16, count(*) AS n_docs, min(doc_id) AS min_id
          |FROM sh GROUP BY sh16 HAVING count(*) >= 2 ORDER BY sh16""".stripMargin,
     "q73_dedup_ngram_jaccard" ->
-      s"""$shinglesCte
+      s"""$shinglesCte,
+         |hs AS (SELECT doc_id, lang, list_transform(s, x -> ${h.format("x")}) hh FROM sh)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) AS jac
-         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
+         |  round(len(list_intersect(a.hh, b.hh))::DOUBLE /
+         |    (len(a.hh)::DOUBLE + len(b.hh)::DOUBLE - len(list_intersect(a.hh, b.hh))::DOUBLE), 6) AS jac
+         |FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.hh, b.hh))::DOUBLE /
+         |    (len(a.hh)::DOUBLE + len(b.hh)::DOUBLE - len(list_intersect(a.hh, b.hh))::DOUBLE) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
     "q74_dedup_cosine" ->
       s"""$vecCte

@@ -50,7 +50,7 @@ class ExpressionsSpec extends SparkSpec {
       (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
-        "vec_id", "embedding", k = 2)
+        "vec_id", "embedding", k = 2, dim = 2)
       .orderBy("rank").collect().map(_.getAs[Long]("nid")).toSeq
     assert(top == Seq(1L, 2L))
   }
