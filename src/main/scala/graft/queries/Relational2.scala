@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Q
+import graft.functions.GraftFunctions._
+import graft.sources.Tables
+
+/** Second relational batch: approximate aggregates, exact percentiles,
+  * correlation, pivot, grouping sets, analytic window functions, range
+  * frames, forward as-of join.
+  */
+object Relational2 {
+
+  /** HLL approximate count-distinct next to the exact count (rows-only
+    * check: approx values are engine-specific by design).
+    */
+  private val q07ApproxDistinct: Q = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Exact interpolated percentiles + correlation/covariance. */
+  private val q08PercentileCorr: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pivot (wide aggregation): return-flag columns per line status. */
+  private val q09Pivot: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast("long")))
+      .orderBy("l_linestatus")
+  }
+
+  /** Explicit grouping sets (beyond rollup/cube): ((rf, ls), (rf), ()). */
+  private val q44GroupingSets: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Analytic window battery: percent_rank, cume_dist, nth_value,
+    * first/last over a running frame.
+    */
+  private val q25WindowAnalytics: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("c_custkey")).over(w).as("richest"),
+        nth_value(col("c_custkey"), 3).over(w).as("third"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 10)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** RANGE frame: sum of orders within a 5000-wide price band below
+    * each order (value-based frame, not row-based).
+    */
+  private val q26WindowRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc)
+      .rangeBetween(-5000, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_band"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Forward as-of join: each purchase matched to the EARLIEST click at
+    * or after it (same union-tag + reversed-order window shape as the
+    * backward variant — one shuffle, no pairwise blowup).
+    */
+  private val q19JoinAsOfForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"),
+        lit(null).cast("long").as("purchase_id"), lit(0).as("is_p"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"), lit(1).as("is_p"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("is_p").asc, col("click_id").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("matched_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("purchase_id"), col("user_id"), col("matched_click"))
+      .orderBy("purchase_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q07_agg_approx_distinct" -> q07ApproxDistinct,
+    "q08_agg_percentile_corr" -> q08PercentileCorr,
+    "q09_agg_pivot" -> q09Pivot,
+    "q44_grouping_sets" -> q44GroupingSets,
+    "q25_window_analytics" -> q25WindowAnalytics,
+    "q26_window_range_frame" -> q26WindowRangeFrame,
+    "q19_join_asof_forward" -> q19JoinAsOfForward)
+
+  // q07 intentionally absent: approx HLL values are engine-specific, the
+  // driver records a rows-only check; the exact/approx gap is unit-tested.
+  val oracles: Map[String, String] = Map(
+    "q08_agg_percentile_corr" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q09_agg_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS A,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS N,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q44_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q25_window_analytics" ->
+      """SELECT c_mktsegment, c_custkey, pr, cd, richest, third, rn FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    round(percent_rank() OVER w, 6) AS pr,
+        |    round(cume_dist() OVER w, 6) AS cd,
+        |    first_value(c_custkey) OVER w AS richest,
+        |    nth_value(c_custkey, 3) OVER w AS third,
+        |    row_number() OVER w AS rn
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC))
+        |WHERE rn <= 10 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q26_window_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC
+        |    RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_band
+        |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin,
+    "q19_join_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id AS click_id, NULL::BIGINT AS purchase_id, 0 AS is_p
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL::BIGINT, event_id, 1 FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts DESC, is_p ASC, click_id DESC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_click
+        |  FROM u)
+        |SELECT purchase_id, user_id, matched_click FROM m WHERE is_p = 1
+        |ORDER BY purchase_id""".stripMargin)
+}

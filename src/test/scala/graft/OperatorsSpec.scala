@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+/** Scale-machinery semantics: salted joins, partitioned writes,
+  * union-by-name schema evolution, approx-distinct error bound.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("salted equi-join is row-identical to the plain join") {
+    import spark.implicits._
+    // one hot key (1) with 80% of rows — the salting target
+    val left = ((1 to 80).map(i => (1L, i)) ++ (1 to 20).map(i => (i.toLong + 1, i)))
+      .toDF("k", "v")
+    val right = (1 to 30).map(i => (i.toLong, s"r$i")).toDF("rk", "name")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "v", "name").collect().toSet
+    val salted = Joins.saltedEquiJoin(left, right, col("k") === col("rk"),
+        col("v"), saltFactor = 8)
+      .select("k", "v", "name").collect().toSet
+    assert(salted == plain && plain.size == 100)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    (1 to 100).map(i => (i, s"g${i % 4}")).toDF("v", "g")
+      .write.mode("overwrite").partitionBy("g").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("g") === "g1")
+    assert(back.count() == 25)
+    // partition filter must reach the scan, not a post-scan filter
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("Filter"),
+      s"expected partition pruning in:\n$plan")
+  }
+
+  test("unionByName with allowMissingColumns fills nulls") {
+    import spark.implicits._
+    val a = Seq((1, "x")).toDF("id", "extra")
+    val b = Seq(2).toDF("id")
+    val u = a.unionByName(b, allowMissingColumns = true).orderBy("id").collect()
+    assert(u(0).getString(1) == "x" && u(1).isNullAt(1))
+  }
+
+  test("approx_count_distinct is within 3x rsd of exact") {
+    import spark.implicits._
+    val df = spark.range(20000).select((col("id") % 7919).as("v"))
+    val r = df.agg(
+      countDistinct(col("v")).as("exact"),
+      approx_count_distinct(col("v")).as("approx")).collect()(0)
+    val exact = r.getLong(0).toDouble
+    assert(math.abs(r.getLong(1) - exact) / exact < 0.15)  // 3x default rsd
+  }
+}
