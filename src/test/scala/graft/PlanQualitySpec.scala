@@ -1,0 +1,58 @@
+package graft
+
+import graft.sources.Tables
+
+/** Plan-shape assertions — the 100 TB contract, checked mechanically:
+  * filters reach the parquet scan, projections prune the read schema,
+  * dimension joins broadcast, aggregations split partial/final. A plan
+  * regression here is a cluster-scale performance bug even when
+  * results stay correct.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("predicate pushdown: q50's filters reach the parquet scan") {
+    val p = plan("q50_filter_predicates")
+    // plan strings truncate long filter lists — check the head of the
+    // pushed list plus the IN rendered in DataFilters
+    assert(p.contains("PushedFilters: [Is"), s"expected non-empty pushdown:\n$p")
+    assert(p.contains("IN (A,R)"), s"expected IN filter at the scan:\n$p")
+  }
+
+  test("column pruning: q30 reads only the 3 projected columns") {
+    val p = plan("q30_sort_limit")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"scan reads too much: $readSchema")
+  }
+
+  test("broadcast joins: q11's dimension joins are BroadcastHashJoin, fact join shuffles") {
+    val p = plan("q11_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+  }
+
+  test("partial aggregation: q01 has map-side partial + final HashAggregate") {
+    val p = plan("q01_agg_pricing_summary")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    assert(p.contains("partial_"), s"expected partial agg functions:\n$p")
+  }
+
+  test("top-k pushdown: q30's global sort is a TakeOrderedAndProject, not a full sort") {
+    val p = plan("q30_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"limit+sort must fuse:\n$p")
+  }
+
+  test("whole-stage codegen covers the criteo expression chain") {
+    // AQE hides codegen stages until the final plan: execute first
+    val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)  // "*" prefix marks codegen stages
+  }
+}
