@@ -33,17 +33,15 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return printAndExit(Map(name -> -1.0), sfDir) }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query records -1 and the run continues — one regression
+      // must not zero the whole round's bench
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     printJson(results.toMap, sfDir)
     spark.stop()
-  }
-
-  private def printAndExit(qs: Map[String, Double], sf: String): Unit = {
-    printJson(qs, sf)
-    sys.exit(1)
   }
 
   private def printJson(qs: Map[String, Double], sf: String): Unit = {

@@ -75,6 +75,57 @@ object Similarity {
     }.reduceLeft(_ + _)
   }
 
+  /** IVF (inverted-file) top-k: corpus is partitioned into cells by
+    * nearest centroid; a query probes only its `nprobe` nearest cells.
+    * Search cost drops from |corpus| to |probed cells| per query.
+    *
+    * Centroids here are a deterministic subsample of the corpus (a
+    * production pipeline would k-means them — the operator shape is
+    * identical: assignment join + cell-pruned search). All rankings use
+    * round(cos, 9) + id tie-breaks so the cell assignment and the final
+    * top-k are engine-reproducible.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int, dim: Int = 64): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol).as("cv"))
+      .withColumn("nrm_c", normSqUnrolled(col("cv"), dim))
+    def cos(e: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      dotUnrolled(e, col("cv"), dim) / sqrt(n * col("nrm_c"))
+
+    // cell assignment: nearest centroid per corpus row
+    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("e_n"))
+      .withColumn("nrm_n", normSqUnrolled(col("e_n"), dim))
+    val wAssign = Window.partitionBy("nid")
+      .orderBy(round(col("ccos"), 9).desc, col("cid").asc)
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("ccos", cos(col("e_n"), col("nrm_n")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("nid"), col("e_n"), col("nrm_n"), col("cid"))
+
+    // probe list: nprobe nearest cells per query
+    val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("e_q"))
+      .withColumn("nrm_q", normSqUnrolled(col("e_q"), dim))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(round(col("ccos"), 9).desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", cos(col("e_q"), col("nrm_q")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("e_q"), col("nrm_q"), col("cid"))
+
+    // search only within probed cells
+    val wTop = Window.partitionBy("qid")
+      .orderBy(round(col("cos"), 9).desc, col("nid").asc)
+    probes.join(assigned, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotUnrolled(col("e_q"), col("e_n"), dim) /
+          sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed near-duplicate pairs: cosine ≥ threshold among pairs
     * colliding in the hyperplane bucket. The scale path for
     * [[Dedup.cosineNearDupPairs]].

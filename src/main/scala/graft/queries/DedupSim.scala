@@ -74,6 +74,18 @@ object DedupSim {
       .orderBy("qid", "rank")
   }
 
+  /** IVF: centroids = every 50th vector (deterministic "coarse
+    * quantizer"), queries probe their 2 nearest cells, top-3 within.
+    */
+  private val q77SimilarityIvf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+        e, e.filter(col("vec_id") % 25 === 0), e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .select("qid", "rank", "nid", "cos")
+      .orderBy("qid", "rank")
+  }
+
   private val q76LshNearDup: Q = (s, d) =>
     Similarity.lshNearDupPairs(nearDupVectors(s, d), "vec_id", "e",
         dim = 64, nPlanes = 8, threshold = 0.99)
@@ -87,7 +99,8 @@ object DedupSim {
     "q73_dedup_ngram_jaccard" -> q73NgramJaccard,
     "q74_dedup_cosine" -> q74CosineNearDup,
     "q75_similarity_topk" -> q75SimilarityTopK,
-    "q76_similarity_lsh" -> q76LshNearDup)
+    "q76_similarity_lsh" -> q76LshNearDup,
+    "q77_similarity_ivf" -> q77SimilarityIvf)
 
   private val h = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
 
@@ -176,6 +189,35 @@ object DedupSim {
         |    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, nid ASC) AS rank
         |  FROM sims)
         |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "q77_similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |    FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (SELECT vec_id AS nid, v AS e_n, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |        sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)), 9) DESC,
+        |        c.cid ASC) rn
+        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS e_q FROM e WHERE vec_id % 25 = 0),
+        |probes AS (SELECT qid, e_q, cid FROM (
+        |  SELECT q.qid, q.e_q, c.cid,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY round(list_dot_product(q.e_q, c.cv) /
+        |        sqrt(list_dot_product(q.e_q, q.e_q) * list_dot_product(c.cv, c.cv)), 9) DESC,
+        |        c.cid ASC) rn
+        |  FROM q CROSS JOIN cent c) WHERE rn <= 2),
+        |hits AS (SELECT qid, nid,
+        |    list_dot_product(e_q, e_n) /
+        |      sqrt(list_dot_product(e_q, e_q) * list_dot_product(e_n, e_n)) AS cos
+        |  FROM probes JOIN assigned USING (cid) WHERE qid <> nid),
+        |ranked AS (SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(cos, 9) DESC, nid ASC) AS rank
+        |  FROM hits)
+        |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 3
         |ORDER BY qid, rank""".stripMargin,
     "q76_similarity_lsh" ->
       s"""$vecCte,

@@ -69,13 +69,33 @@ object SqlAndSources {
       .orderBy("event_id")
   }
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + join (no per-row re-execution, unlike the naive plan).
+    */
+  private val q93SqlCorrelated: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.8 * (
+        |  SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val defs: Map[String, Q] = Map(
     "q90_sql_tpch_q3" -> q90SqlTpchQ3,
+    "q93_sql_correlated_subquery" -> q93SqlCorrelated,
     "q91_csv_roundtrip" -> q91CsvRoundtrip,
     "q92_json_roundtrip" -> q92JsonRoundtrip,
     "q49_json_regex" -> q49JsonRegex)
 
   val oracles: Map[String, String] = Map(
+    "q93_sql_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.8 * (
+        |  SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q90_sql_tpch_q3" ->
       """SELECT o_orderkey,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

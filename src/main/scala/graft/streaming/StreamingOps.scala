@@ -17,10 +17,19 @@ import java.sql.Timestamp
   */
 object StreamingOps {
 
-  /** File-based streaming source over a parquet events directory. */
+  /** File-based streaming source over a parquet events directory —
+    * same nanos-timestamp handling as the batch reader
+    * (graft.sources.Tables.events).
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // the streaming file source wants a directory: stream the table dir,
+    // glob-filtered to the events file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
   /** Tumbling-window counts with watermark-based late-data drop.

@@ -82,6 +82,25 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(8L) == ((1L, 10.0)))
   }
 
+  test("file-source stream + foreachBatch sink: dedup over the events parquet") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val stream = StreamingOps.readEventStream(spark, "/root/testdata/sf0.001")
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingOps.dedupStream(stream, "1 hour")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        total.addAndGet(batch.count())
+        batch.write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val expected = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id").distinct().count()
+    assert(total.get() == expected, s"dedup emitted ${total.get()}, table has $expected ids")
+    assert(spark.read.parquet(outDir).count() == expected)
+  }
+
   test("session window in streaming mode merges within-gap events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
