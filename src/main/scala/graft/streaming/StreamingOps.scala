@@ -94,6 +94,45 @@ object StreamingOps {
         })
   }
 
+  /** transformWithState (Spark 4's arbitrary-state API, RocksDB-backed):
+    * running per-user maximum value. ValueState replaces the whole-state
+    * GroupState blob — at scale each key's state lives in the RocksDB
+    * store, updated incrementally, TTL-able.
+    */
+  class UserMaxProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Double)] {
+    @transient private var maxState: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      maxState = getHandle.getValueState[Double]("mx",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Double)] = {
+      val prev = if (maxState.exists()) maxState.get() else Double.NegativeInfinity
+      val mx = math.max(prev, rows.map(_._2).max)
+      maxState.update(mx)
+      Iterator.single((key, mx))
+    }
+  }
+
+  /** Running per-user max via transformWithState (requires the RocksDB
+    * state store provider — set
+    * spark.sql.streaming.stateStore.providerClass to
+    * ...state.RocksDBStateStoreProvider).
+    */
+  def userMaxValue(events: DataFrame): Dataset[(Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserMaxProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // Spark's `window` function clashes with the `window` param name above.
   private object functions {
     def windowCol(c: org.apache.spark.sql.Column, w: String) =

@@ -101,6 +101,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == expected)
   }
 
+  test("transformWithState (RocksDB ValueState) carries running max across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val q = StreamingOps.userMaxValue(input.toDF())
+        .toDF("user_id", "max_v")
+        .writeStream.format("memory").queryName("maxv").outputMode("update").start()
+      input.addData(Ev(1, ts(1), 5, "c", 3.0), Ev(2, ts(2), 5, "c", 7.0))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts(3), 5, "c", 4.0))   // below running max
+      q.processAllAvailable()
+      input.addData(Ev(4, ts(4), 5, "c", 9.0))   // new max
+      q.processAllAvailable()
+      val vals = spark.table("maxv").filter(col("user_id") === 5)
+        .select("max_v").collect().map(_.getDouble(0)).toSeq
+      q.stop()
+      assert(vals.sorted == Seq(7.0, 7.0, 9.0), s"got $vals")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("session window in streaming mode merges within-gap events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
