@@ -49,6 +49,39 @@ object GeoMeanAgg extends Aggregator[Double, (Double, Long), Double] {
   override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
 }
 
+/** Custom Generator (UDTF): explode a text column into its word
+  * n-gram shingles — one output row per shingle, the engine-level
+  * building block under the dedup operators (SURVEY.md §2.2 UDTF row).
+  * CodegenFallback is standard for generators (they emit row sets).
+  */
+case class ExplodeShingles(child: Expression, n: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def elementSchema: StructType =
+    StructType(StructField("shingle", StringType) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val words = t.asInstanceOf[UTF8String].toString.split(" ")
+      val k = n.eval(input).asInstanceOf[Int]
+      val m = math.max(words.length - k + 1, 1)
+      (0 until m).map(i =>
+        InternalRow(UTF8String.fromString(words.slice(i, i + k).mkString(" "))))
+    }
+  }
+
+  override def children: Seq[Expression] = Seq(child, n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ExplodeShingles =
+    copy(child = newChildren(0), n = newChildren(1))
+}
+
 /** Session-level registration of graft's native functions (idempotent).
   * Also installable via `spark.sql.extensions=graft.GraftExtensions`.
   */
@@ -59,6 +92,9 @@ object GraftRegistry {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_logit",
       (exprs: Seq[Expression]) => LogitExpr(Cast(exprs.head, DoubleType)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "explode_shingles",
+      (exprs: Seq[Expression]) => ExplodeShingles(exprs.head, exprs(1)), "built-in")
     spark.udf.register("graft_geomean",
       org.apache.spark.sql.functions.udaf(GeoMeanAgg))
   }

@@ -51,12 +51,31 @@ object Extended {
       .orderBy("id")
   }
 
+  /** Custom Generator (UDTF) through the SQL surface: text → shingle
+    * rows → top-15 histogram.
+    */
+  private val q36CustomGenerator: Q = (s, d) => {
+    GraftRegistry.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("documents_v")
+    s.sql(
+      """SELECT shingle, count(*) AS n FROM (
+        |  SELECT explode_shingles(text, 3) AS shingle FROM documents_v)
+        |GROUP BY shingle ORDER BY n DESC, shingle ASC LIMIT 15""".stripMargin)
+  }
+
   val defs: Map[String, Q] = Map(
     "q33_udaf_geomean" -> q33Geomean,
+    "q36_custom_generator" -> q36CustomGenerator,
     "q34_native_logit" -> q34NativeLogit,
     "q35_multimodal_decode" -> q35Multimodal)
 
   val oracles: Map[String, String] = Map(
+    "q36_custom_generator" ->
+      """WITH t AS (SELECT str_split(text, ' ') w FROM documents),
+        |sh AS (SELECT unnest([array_to_string(w[i:i+2], ' ')
+        |    for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS shingle FROM t)
+        |SELECT shingle, count(*) AS n FROM sh
+        |GROUP BY shingle ORDER BY n DESC, shingle ASC LIMIT 15""".stripMargin,
     "q33_udaf_geomean" ->
       """SELECT l_returnflag, exp(avg(ln(l_extendedprice))) AS geo_price, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -82,14 +82,62 @@ object SqlAndSources {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q22 shape: uncorrelated scalar subquery + NOT EXISTS anti
+    * join + aggregation.
+    */
+  private val q94SqlQ22Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** TPC-H Q15 shape: CTE revenue view + max scalar subquery. */
+  private val q95SqlQ15Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total = (SELECT max(total) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   val defs: Map[String, Q] = Map(
     "q90_sql_tpch_q3" -> q90SqlTpchQ3,
     "q93_sql_correlated_subquery" -> q93SqlCorrelated,
+    "q94_sql_q22_shape" -> q94SqlQ22Shape,
+    "q95_sql_q15_shape" -> q95SqlQ15Shape,
     "q91_csv_roundtrip" -> q91CsvRoundtrip,
     "q92_json_roundtrip" -> q92JsonRoundtrip,
     "q49_json_regex" -> q49JsonRegex)
 
   val oracles: Map[String, String] = Map(
+    "q94_sql_q22_shape" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q95_sql_q15_shape" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total = (SELECT max(total) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "q93_sql_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
