@@ -86,7 +86,6 @@ case class ExplodeShingles(child: Expression, n: Expression)
   * Also installable via `spark.sql.extensions=graft.GraftExtensions`.
   */
 object GraftRegistry {
-  private val logitInfo = new ExpressionInfo(classOf[LogitExpr].getName, "graft_logit")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

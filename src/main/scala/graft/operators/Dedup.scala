@@ -40,15 +40,53 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 48, bands: Int = 12): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // hs (one md5/shingle) and the hash SET (h1 only, for exact Jaccard)
-    // are separate projections so the 48 signature members reuse them.
+    // Shingling is declarative (scan-parallel, pruned); the signature
+    // inner loop (|shingles| md5 + 48·|shingles| min-computations per
+    // doc) is a mapPartitions kernel — Catalyst higher-order lambdas
+    // run interpreted, the JVM loop is ~3× faster and bit-identical
+    // (same md5-hex → h1/h2 split as TextFunctions.mdHash/mdHash2).
+    val spark = df.sparkSession
+    import spark.implicits._
     val sh = df.select(
-      col(idCol).as("id"),
+      col(idCol).cast("long").as("id"),
       wordShingles(words(col(textCol)), 3).as("sh"))
-      .withColumn("hs", shingleHashPairs(col("sh")))
-      .withColumn("hset", transform(col("hs"), h => h.getField("h1")))
-    val banded = sh
-      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+    val hashed = sh.as[(Long, Seq[String])].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, shingles) =>
+        val m = shingles.length
+        val h1 = new Array[Long](m)
+        val h2 = new Array[Long](m)
+        var j = 0
+        while (j < m) {
+          md.reset()
+          val dg = md.digest(shingles(j).getBytes("UTF-8"))
+          // h1 = first 15 hex chars = 60 bits: bytes 0..6 + high nibble
+          // of byte 7; h2 = hex chars 16..27 = low nibble of byte 7 +
+          // bytes 8..13 high nibble... equivalently parse via masks —
+          // identical to parsing the hex substrings.
+          var a = 0L
+          var k = 0
+          while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+          h1(j) = (a << 4) | ((dg(7) & 0xf0L) >> 4)
+          var b = dg(7) & 0x0fL
+          k = 8
+          while (k < 13) { b = (b << 8) | (dg(k) & 0xffL); k += 1 }
+          h2(j) = (b << 4) | ((dg(13) & 0xf0L) >> 4)
+          j += 1
+        }
+        val sig = new Array[Long](numHashes)
+        var i = 0
+        while (i < numHashes) {
+          var mn = Long.MaxValue
+          j = 0
+          while (j < m) { val v = h1(j) + i * h2(j); if (v < mn) mn = v; j += 1 }
+          sig(i) = mn
+          i += 1
+        }
+        (id, h1, sig)
+      }
+    }.toDF("id", "hset", "sig")
+    val banded = hashed
       .select(col("id"), col("hset"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
       // materialize once: both self-join sides read this, halving the
@@ -62,6 +100,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccardFast(col("h_a"), col("h_b")).as("jac"))
       .distinct()
       .filter(col("jac") >= threshold)
+  }
+
+  /** Keep-best dedup policy: within each duplicate cluster (shared
+    * bag-of-words fingerprint), keep the highest-quality doc — the
+    * realistic pipeline step after cluster discovery. Returns one row
+    * per multi-doc cluster: the kept doc and the cluster size.
+    */
+  def keepBestByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.select(col(idCol).as("id"), col(textCol).as("t"), words(col(textCol)).as("w"))
+      .withColumn("fp", bowFingerprint(col("w")))
+      .withColumn("q", qualityScore(col("t"), col("w")))
+    val win = Window.partitionBy("fp")
+    val pick = Window.partitionBy("fp")
+      .orderBy(col("q").desc, col("id").asc)
+    w.withColumn("n_docs", count(lit(1)).over(win))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("n_docs") >= 2 && col("rn") === 1)
+      .select(col("fp"), col("id").as("kept_id"), col("n_docs"),
+        round(col("q"), 6).as("kept_quality"))
   }
 
   /** SimHash groups: docs sharing an identical 16-bit sketch (duplicate

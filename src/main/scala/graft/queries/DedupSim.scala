@@ -92,8 +92,14 @@ object DedupSim {
       .select("id_a", "id_b", "bucket", "cos")
       .orderBy("id_a", "id_b")
 
+  /** Keep-best policy over BOW-fingerprint clusters. */
+  private val q78DedupKeepBest: Q = (s, d) =>
+    Dedup.keepBestByFingerprint(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("fp")
+
   val defs: Map[String, Q] = Map(
     "q70_dedup_exact" -> q70DedupExact,
+    "q78_dedup_keep_best" -> q78DedupKeepBest,
     "q71_dedup_minhash_lsh" -> q71MinhashLsh,
     "q72_dedup_simhash" -> q72Simhash,
     "q73_dedup_ngram_jaccard" -> q73NgramJaccard,
@@ -124,6 +130,21 @@ object DedupSim {
       |  FROM base WHERE vec_id % 5 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q78_dedup_keep_best" ->
+      s"""WITH t AS (SELECT doc_id, text, str_split(text, ' ') w FROM documents),
+         |f AS (SELECT doc_id,
+         |    ${h.format("array_to_string(list_sort(list_distinct(w)), ' ')")} fp,
+         |    least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+         |      + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.3
+         |      + ((length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE + 1.0)
+         |         / (length(text)::DOUBLE + 1.0)) * 0.3 AS q
+         |  FROM t),
+         |r AS (SELECT fp, doc_id, q,
+         |    count(*) OVER (PARTITION BY fp) n_docs,
+         |    row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id ASC) rn
+         |  FROM f)
+         |SELECT fp, doc_id AS kept_id, n_docs, round(q, 6) AS kept_quality
+         |FROM r WHERE n_docs >= 2 AND rn = 1 ORDER BY fp""".stripMargin,
     "q70_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
