@@ -48,6 +48,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"limit+sort must fuse:\n$p")
   }
 
+  test("bucketed tables: co-located join plans without a shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    // default warehouse dir (./spark-warehouse, gitignored) — the
+    // warehouse location is a static conf, not settable per-test
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable("li_b")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable("o_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    // both sides bucketed on the join key with equal bucket counts:
+    // SortMergeJoin with NO shuffle (Exchange) on either side
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$p")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+  }
+
   test("whole-stage codegen covers the criteo expression chain") {
     // AQE hides codegen stages until the final plan: execute first
     val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)
