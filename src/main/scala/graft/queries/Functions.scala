@@ -102,7 +102,8 @@ object Functions {
         element_at(col("w"), -1).as("last_w"),
         concat_ws(" ", slice(col("w"), 1, 3)).as("first3"),
         element_at(sort_array(array_distinct(col("w"))), 1).as("min_w"),
-        size(array_intersect(col("w"), array(lit("spark"), lit("data"), lit("query")))).as("n_kw"))
+        size(array_intersect(col("w"), array(lit("spark"), lit("data"), lit("query")))).as("n_kw"),
+        size(flatten(array(slice(col("w"), 1, 2), slice(col("w"), 3, 2)))).as("n_flat"))
       .orderBy("doc_id")
   }
 
@@ -238,7 +239,8 @@ object Functions {
         |  w[1] AS first_w, w[-1] AS last_w,
         |  array_to_string(w[1:3], ' ') AS first3,
         |  list_sort(list_distinct(w))[1] AS min_w,
-        |  len(list_intersect(w, ['spark','data','query'])) AS n_kw
+        |  len(list_intersect(w, ['spark','data','query'])) AS n_kw,
+        |  len(flatten([w[1:2], w[3:4]])) AS n_flat
         |FROM t ORDER BY doc_id""".stripMargin,
     "q55_higher_order" ->
       """WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e

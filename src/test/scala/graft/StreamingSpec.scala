@@ -131,6 +131,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("rate source produces rows through a streaming aggregation") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "100").load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("ratecnt").outputMode("complete").start()
+    try {
+      var n = 0L
+      val deadline = System.currentTimeMillis() + 30000
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        val rows = spark.table("ratecnt").collect()
+        if (rows.nonEmpty) n = rows(0).getLong(0)
+        if (n == 0) Thread.sleep(200)
+      }
+      assert(n > 0, "rate source produced no rows in 30s")
+    } finally q.stop()
+  }
+
   test("session window in streaming mode merges within-gap events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
