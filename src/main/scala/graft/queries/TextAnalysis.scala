@@ -77,8 +77,40 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Text normalization: lowercase + punctuation strip + whitespace
+    * collapse; output content hash of the normalized form (the dedup
+    * key of choice for "same text modulo formatting").
+    */
+  private val q65Normalize: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_raw"),
+        length(col("norm")).as("n_norm"),
+        md5(col("norm")).as("norm_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic hash-based train/val/test split (80/10/10 on a
+    * 60-bit content-independent id hash) — reproducible across runs,
+    * engines, and partitionings, unlike rand()-based sampling.
+    */
+  private val q66TrainTestSplit: Q = (s, d) => {
+    val bucket = pmod(mdHash(col("doc_id")), lit(100))
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+  }
+
   val defs: Map[String, Q] = Map(
     "q60_text_stats" -> q60TextStats,
+    "q65_text_normalize" -> q65Normalize,
+    "q66_train_test_split" -> q66TrainTestSplit,
     "q61_lang_id" -> q61LangId,
     "q62_token_count" -> q62TokenCount,
     "q63_fingerprint" -> q63Fingerprint,
@@ -87,6 +119,19 @@ object TextAnalysis {
   private val hashSql = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q65_text_normalize" ->
+      """SELECT doc_id, length(text) AS n_raw,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_norm,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q66_train_test_split" ->
+      s"""WITH t AS (SELECT lang, n_chars,
+         |    ${hashSql.format("doc_id::VARCHAR")} % 100 AS b
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n, sum(n_chars) AS sum_chars
+         |FROM t GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q60_text_stats" ->
       """WITH t AS (SELECT lang, text, str_split(text, ' ') w FROM documents)
         |SELECT lang, count(*) AS n_docs,
