@@ -92,6 +92,21 @@ object DedupSim {
       .select("id_a", "id_b", "bucket", "cos")
       .orderBy("id_a", "id_b")
 
+  /** int8 embedding quantization (symmetric max-abs scaling): the
+    * storage/serving compression step. Outputs per-vector scale and the
+    * quantized-value checksum (sum), both engine-reproducible.
+    */
+  private val q79EmbeddingQuantize: Q = (s, d) => {
+    val e = transform(col("embedding"), x => x.cast(org.apache.spark.sql.types.DoubleType))
+    Tables.embeddings(s, d)
+      .withColumn("max_abs", array_max(transform(e, x => abs(x))))
+      .withColumn("qsum",
+        aggregate(transform(e, x => round(x * lit(127.0) / col("max_abs"), 0).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .select(col("vec_id"), round(col("max_abs"), 6).as("max_abs"), col("qsum"))
+      .orderBy("vec_id")
+  }
+
   /** Keep-best policy over BOW-fingerprint clusters. */
   private val q78DedupKeepBest: Q = (s, d) =>
     Dedup.keepBestByFingerprint(Tables.documents(s, d), "doc_id", "text")
@@ -100,6 +115,7 @@ object DedupSim {
   val defs: Map[String, Q] = Map(
     "q70_dedup_exact" -> q70DedupExact,
     "q78_dedup_keep_best" -> q78DedupKeepBest,
+    "q79_embedding_quantize" -> q79EmbeddingQuantize,
     "q71_dedup_minhash_lsh" -> q71MinhashLsh,
     "q72_dedup_simhash" -> q72Simhash,
     "q73_dedup_ngram_jaccard" -> q73NgramJaccard,
@@ -130,6 +146,13 @@ object DedupSim {
       |  FROM base WHERE vec_id % 5 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q79_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |    FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e)
+        |SELECT vec_id, round(max_abs, 6) AS max_abs,
+        |  list_sum(list_transform(v, x -> round(x * 127.0 / max_abs, 0)::BIGINT))::BIGINT AS qsum
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q78_dedup_keep_best" ->
       s"""WITH t AS (SELECT doc_id, text, str_split(text, ' ') w FROM documents),
          |f AS (SELECT doc_id,

@@ -107,10 +107,30 @@ object TextAnalysis {
       .orderBy("lang", "split")
   }
 
+  /** Sequence packing: assign docs (in a deterministic order) to
+    * fixed-token-budget packs via running token sums — the standard
+    * pre-training batching step, expressed as a window cumsum (one
+    * shuffle on the ordering, no sequential driver loop).
+    */
+  private val q67SequencePacking: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("tokens", tokenCountWs(col("text")))
+      .withColumn("pre_sum", coalesce(sum(col("tokens")).over(w), lit(0)))
+      .withColumn("pack_id", floor(col("pre_sum") / lit(2048)).cast("long"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("pack_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q60_text_stats" -> q60TextStats,
     "q65_text_normalize" -> q65Normalize,
     "q66_train_test_split" -> q66TrainTestSplit,
+    "q67_sequence_packing" -> q67SequencePacking,
     "q61_lang_id" -> q61LangId,
     "q62_token_count" -> q62TokenCount,
     "q63_fingerprint" -> q63Fingerprint,
@@ -119,6 +139,15 @@ object TextAnalysis {
   private val hashSql = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "q67_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, len(str_split(text, ' ')) AS tokens FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |    coalesce(sum(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
+        |  FROM t)
+        |SELECT CAST(floor(pre_sum / 2048) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, sum(tokens) AS pack_tokens, min(doc_id) AS first_doc
+        |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
     "q65_text_normalize" ->
       """SELECT doc_id, length(text) AS n_raw,
         |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_norm,
