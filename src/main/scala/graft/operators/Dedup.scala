@@ -139,11 +139,14 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // Jaccard over 60-bit shingle hashes. Like cosineNearDupPairs, the
-    // pair loop is a branch-light numeric kernel that the declarative
-    // join evaluates interpreted (~6µs/pair) — so: shingle-hash each doc
-    // declaratively (scan-parallel), then broadcast the per-block sorted
-    // hash arrays and merge-count intersections in mapPartitions.
+    // Jaccard over 60-bit shingle hashes. The pair loop is a
+    // branch-light numeric kernel that a declarative join would
+    // evaluate interpreted (~6µs/pair) — so: shingle-hash each doc
+    // declaratively (scan-parallel), shuffle ONCE on the block key
+    // (groupByKey), and run the sorted-merge kernel per block inside
+    // the executors. Nothing is materialized on the driver; per-task
+    // memory is bounded by the largest block — the contract a blocking
+    // key exists to provide.
     // Exact prunes before touching arrays: id order + the size band
     // (J ≥ t ⇒ min/max ≥ t). Distinct-intersection over sorted arrays
     // by two-pointer with duplicate skip — identical counts to
@@ -154,46 +157,39 @@ object Dedup {
         col(blockCol).cast("string").as("blk"), col(idCol).cast("long").as("id"),
         sort_array(transform(wordShingles(words(col(textCol)), n), s => mdHash(s))).as("hset"))
       .as[(String, Long, Array[Long])]
-      .persist()  // consumed twice: the broadcast collect + the pair scan
-    val byBlock: Map[String, Array[(Long, Array[Long])]] =
-      sh.collect().groupBy(_._1)
-        .map { case (blk, rows) => blk -> rows.map(r => (r._2, r._3)).sortBy(_._1) }
-    val bc = spark.sparkContext.broadcast(byBlock)
-    sh.mapPartitions { iter =>
-      iter.flatMap { case (blk, ida, ha) =>
-        val block = bc.value(blk)
-        val na = ha.length
-        var lo = 0
-        var hi = block.length
-        while (lo < hi) {  // first index with id > ida
-          val mid = (lo + hi) >>> 1
-          if (block(mid)._1 <= ida) lo = mid + 1 else hi = mid
-        }
+    sh.groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val block = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var k = lo
-        while (k < block.length) {
-          val (idb, hb) = block(k)
-          val nb = hb.length
-          if (math.min(na, nb).toDouble >= threshold * math.max(na, nb).toDouble) {
-            var i = 0; var j = 0; var cnt = 0
-            while (i < na && j < nb) {
-              val x = ha(i); val y = hb(j)
-              if (x < y) i += 1
-              else if (x > y) j += 1
-              else {
-                cnt += 1
-                while (i < na && ha(i) == x) i += 1
-                while (j < nb && hb(j) == x) j += 1
+        var ai = 0
+        while (ai < block.length) {
+          val (ida, ha) = block(ai)
+          val na = ha.length
+          var k = ai + 1
+          while (k < block.length) {
+            val (idb, hb) = block(k)
+            val nb = hb.length
+            if (math.min(na, nb).toDouble >= threshold * math.max(na, nb).toDouble) {
+              var i = 0; var j = 0; var cnt = 0
+              while (i < na && j < nb) {
+                val x = ha(i); val y = hb(j)
+                if (x < y) i += 1
+                else if (x > y) j += 1
+                else {
+                  cnt += 1
+                  while (i < na && ha(i) == x) i += 1
+                  while (j < nb && hb(j) == x) j += 1
+                }
               }
+              val jac = cnt.toDouble / (na.toDouble + nb.toDouble - cnt.toDouble)
+              if (jac >= threshold) out += ((ida, idb, jac))
             }
-            val jac = cnt.toDouble / (na.toDouble + nb.toDouble - cnt.toDouble)
-            if (jac >= threshold) out += ((ida, idb, jac))
+            k += 1
           }
-          k += 1
+          ai += 1
         }
         out
-      }
-    }.toDF("id_a", "id_b", "jac")
+      }.toDF("id_a", "id_b", "jac")
   }
 
   /** Embedding near-duplicate pairs by cosine ≥ threshold, brute force
@@ -202,55 +198,66 @@ object Dedup {
     * which is the 100 TB path.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double): DataFrame = {
+      dim: Int, threshold: Double, tiles: Int = 8): DataFrame = {
     // Brute-force all-pairs cosine is a dense numeric kernel: per pair
     // it is 64 fused multiply-adds with ZERO data-dependent branching.
     // The declarative formulations lose 10-30× here — a nested-loop
     // join's condition/projection runs interpreted per candidate pair
     // (BroadcastNestedLoopJoin does not participate in whole-stage
-    // codegen) — so this is the one operator implemented as the
-    // documented last resort: broadcast the corpus (mirroring
-    // BroadcastExchange; 12k × 64 doubles ≈ 6 MB — at larger corpora
-    // you tile the broadcast into blocks), then a primitive-array
-    // mapPartitions kernel the JIT auto-vectorizes. Norms are
-    // precomputed once per row. Sequential j-loop keeps the
-    // accumulation order of the fold (oracle-identical).
+    // codegen) — so the kernel runs in executors via the classic
+    // tile-pair decomposition: each row is hashed to one of `tiles`
+    // tiles and replicated to the `tiles` unordered tile-pairs it
+    // participates in; each (i,j) pair-task holds only 2/tiles of the
+    // corpus and emits its cross pairs. Shuffle volume is tiles×|data|,
+    // per-task memory |data|·2/tiles, and the driver never materializes
+    // anything — at 100 TB you raise `tiles` so a pair of tiles fits an
+    // executor. Norms are computed once per row within the task.
+    // Sequential j-loop keeps the accumulation order of the fold
+    // (oracle-identical); dot/norm are symmetric so pair orientation
+    // does not affect the value.
     val spark = df.sparkSession
     import spark.implicits._
+    val t = tiles
+    val d = dim
     val e = df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("e"))
       .as[(Long, Array[Double])]
-    val all = e.collect().sortBy(_._1)
-    val ids = all.map(_._1)
-    val vecs = all.map(_._2)
-    val norms = vecs.map { v =>
-      var s = 0.0; var j = 0
-      while (j < dim) { s += v(j) * v(j); j += 1 }; s
-    }
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    val n = ids.length
-    e.mapPartitions { iter =>
-      val (bIds, bVecs, bNorms) = bc.value
-      iter.flatMap { case (ida, ea) =>
-        var na = 0.0
-        var j = 0
-        while (j < dim) { na += ea(j) * ea(j); j += 1 }
-        // candidates strictly after ida in the sorted id order
-        var lo = java.util.Arrays.binarySearch(bIds, ida)
-        if (lo < 0) lo = -lo - 1 else lo += 1
+    e.flatMap { case (id, v) =>
+        val ti = (id % t).toInt
+        (0 until t).map(o => (math.min(ti, o), math.max(ti, o), ti, id, v))
+      }
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Double])]) =>
+        val (ti, tj) = key
+        def normSq(v: Array[Double]): Double = {
+          var s = 0.0; var j = 0
+          while (j < d) { s += v(j) * v(j); j += 1 }; s
+        }
+        val rows = it.toArray
+        val left = rows.collect { case (_, _, tt, id, v) if tt == ti => (id, v) }.sortBy(_._1)
+        val right = if (ti == tj) left
+          else rows.collect { case (_, _, tt, id, v) if tt == tj => (id, v) }.sortBy(_._1)
+        val lNorm = left.map(r => normSq(r._2))
+        val rNorm = if (ti == tj) lNorm else right.map(r => normSq(r._2))
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var k = lo
-        while (k < n) {
-          val eb = bVecs(k)
-          var dot = 0.0
-          j = 0
-          while (j < dim) { dot += ea(j) * eb(j); j += 1 }
-          val cos = dot / math.sqrt(na * bNorms(k))
-          if (cos >= threshold) out += ((ida, bIds(k), cos))
-          k += 1
+        var a = 0
+        while (a < left.length) {
+          val (ida, ea) = left(a)
+          val na = lNorm(a)
+          var b = if (ti == tj) a + 1 else 0
+          while (b < right.length) {
+            val (idb, eb) = right(b)
+            var dot = 0.0
+            var j = 0
+            while (j < d) { dot += ea(j) * eb(j); j += 1 }
+            val cos = dot / math.sqrt(na * rNorm(b))
+            if (cos >= threshold)
+              out += (if (ida < idb) (ida, idb, cos) else (idb, ida, cos))
+            b += 1
+          }
+          a += 1
         }
         out
-      }
-    }.toDF("id_a", "id_b", "cos")
+      }.toDF("id_a", "id_b", "cos")
   }
 }

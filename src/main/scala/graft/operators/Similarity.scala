@@ -92,15 +92,23 @@ object Similarity {
     def cos(e: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       dotUnrolled(e, col("cv"), dim) / sqrt(n * col("nrm_c"))
 
-    // cell assignment: nearest centroid per corpus row
+    // cell assignment: nearest centroid per corpus row, as a
+    // partially-aggregable argmax — max_by on (rounded cos, -cid)
+    // reproduces the "cos DESC, cid ASC" tie-break and lets the
+    // map-side combine collapse the corpus×centroids product back to
+    // one row per corpus id BEFORE the shuffle. (The window
+    // formulation this replaces shuffled the full |corpus|×|centroids|
+    // product through an Exchange just to take rn=1.)
     val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("e_n"))
       .withColumn("nrm_n", normSqUnrolled(col("e_n"), dim))
-    val wAssign = Window.partitionBy("nid")
-      .orderBy(round(col("ccos"), 9).desc, col("cid").asc)
     val assigned = c.crossJoin(broadcast(cent))
       .withColumn("ccos", cos(col("e_n"), col("nrm_n")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .groupBy("nid")
+      .agg(
+        max_by(col("cid"),
+          struct(round(col("ccos"), 9).as("c"), (-col("cid")).as("t"))).as("cid"),
+        first(col("e_n")).as("e_n"),
+        first(col("nrm_n")).as("nrm_n"))
       .select(col("nid"), col("e_n"), col("nrm_n"), col("cid"))
 
     // probe list: nprobe nearest cells per query

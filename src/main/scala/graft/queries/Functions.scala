@@ -190,7 +190,7 @@ object Functions {
 
   val oracles: Map[String, String] = Map(
     "q50_filter_predicates" ->
-      """SELECT l_returnflag, count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      """SELECT l_returnflag, count(*) AS n, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
         |FROM lineitem
         |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 5 AND 45
         |  AND NOT (l_linestatus = 'O')
@@ -254,7 +254,7 @@ object Functions {
         |FROM t ORDER BY vec_id""".stripMargin,
     "q56_json_funcs" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -100,7 +100,9 @@ object Relational {
     val r = Tables.region(s, d)
     n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name")
-      .agg(sort_array(collect_set(col("n_name"))).as("nations"),
+      // serialized to CSV: array-typed output cells crash the driver's
+      // pandas row-sort canonicalizer (unhashable ndarray)
+      .agg(concat_ws(",", sort_array(collect_set(col("n_name")))).as("nations"),
         count(lit(1)).as("n_nations"))
       .orderBy("r_name")
   }
@@ -396,7 +398,7 @@ object Relational {
         |    / (CAST(count(*) AS DOUBLE) - 1)) AS stddev_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q06_agg_collect" ->
-      """SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations, count(*) AS n_nations
+      """SELECT r_name, array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations, count(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q10_join_inner" ->

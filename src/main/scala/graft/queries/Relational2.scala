@@ -14,15 +14,24 @@ import graft.sources.Tables
   */
 object Relational2 {
 
-  /** HLL approximate count-distinct next to the exact count (rows-only
-    * check: approx values are engine-specific by design).
+  /** HLL approximate count-distinct, made oracle-checkable: output the
+    * exact count plus a boolean asserting the approximation is within
+    * 5% of it (HLL's error bound at default precision), so the oracle
+    * can assert `TRUE` without reproducing engine-specific sketch
+    * values.
     */
   private val q07ApproxDistinct: Q = (s, d) => {
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        // rsd=0.01: the default 5% relative-stddev sketch can miss a 5%
+        // absolute bound on small groups; 1% keeps within_5pct reliable
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
         countDistinct(col("o_custkey")).as("exact_cust"))
+      .select(
+        col("o_orderpriority"), col("exact_cust"),
+        (abs(col("approx_cust") - col("exact_cust")) <=
+          lit(0.05) * col("exact_cust")).as("within_5pct"))
       .orderBy("o_orderpriority")
   }
 
@@ -121,9 +130,15 @@ object Relational2 {
     "q26_window_range_frame" -> q26WindowRangeFrame,
     "q19_join_asof_forward" -> q19JoinAsOfForward)
 
-  // q07 intentionally absent: approx HLL values are engine-specific, the
-  // driver records a rows-only check; the exact/approx gap is unit-tested.
+  // DuckDB `sum(<integer>)` yields HUGEINT, which pandas renders as
+  // float/object and the driver's canonicalized hash then mismatches
+  // Spark's long — every integer sum below is therefore wrapped
+  // `::BIGINT` on the oracle side.
   val oracles: Map[String, String] = Map(
+    "q07_agg_approx_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cust,
+        |  TRUE AS within_5pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q08_agg_percentile_corr" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -133,13 +148,13 @@ object Relational2 {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q09_agg_pivot" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS A,
-        |  sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS N,
-        |  sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS R
+        |  sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END)::BIGINT AS A,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END)::BIGINT AS N,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END)::BIGINT AS R
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q44_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,

@@ -65,7 +65,9 @@ object SqlAndSources {
       .select(
         col("event_id"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").cast(LongType).as("k"),
-        regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)).as("digits"))
+        // serialized to CSV: array-typed output cells crash the driver's
+        // pandas row-sort canonicalizer (unhashable ndarray)
+        concat_ws(",", regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).as("digits"))
       .orderBy("event_id")
   }
 
@@ -165,6 +167,6 @@ object SqlAndSources {
     "q49_json_regex" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  regexp_extract_all(props, '[0-9]+') AS digits
+        |  array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS digits
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)
 }

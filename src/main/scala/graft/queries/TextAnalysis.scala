@@ -109,21 +109,25 @@ object TextAnalysis {
 
   /** Sequence packing: assign docs (in a deterministic order) to
     * fixed-token-budget packs via running token sums — the standard
-    * pre-training batching step, expressed as a window cumsum (one
-    * shuffle on the ordering, no sequential driver loop).
+    * pre-training batching step. Packing runs independently inside 8
+    * deterministic hash shards so the cumsum window has a partition
+    * key: at 100 TB every shard packs in parallel, instead of
+    * serializing the whole corpus through one task the way a global
+    * (un-partitioned) window would.
     */
   private val q67SequencePacking: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(W.unboundedPreceding, -1)
     Tables.documents(s, d)
       .withColumn("tokens", tokenCountWs(col("text")))
+      .withColumn("shard", pmod(mdHash(col("doc_id")), lit(8)))
       .withColumn("pre_sum", coalesce(sum(col("tokens")).over(w), lit(0)))
       .withColumn("pack_id", floor(col("pre_sum") / lit(2048)).cast("long"))
-      .groupBy("pack_id")
+      .groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"))
-      .orderBy("pack_id")
+      .orderBy("shard", "pack_id")
   }
 
   val defs: Map[String, Q] = Map(
@@ -140,14 +144,16 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q67_sequence_packing" ->
-      """WITH t AS (SELECT doc_id, len(str_split(text, ' ')) AS tokens FROM documents),
-        |c AS (SELECT doc_id, tokens,
-        |    coalesce(sum(tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
-        |  FROM t)
-        |SELECT CAST(floor(pre_sum / 2048) AS BIGINT) AS pack_id,
-        |  count(*) AS n_docs, sum(tokens) AS pack_tokens, min(doc_id) AS first_doc
-        |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, len(str_split(text, ' ')) AS tokens,
+         |    ${hashSql.format("doc_id::VARCHAR")} % 8 AS shard
+         |  FROM documents),
+         |c AS (SELECT shard, doc_id, tokens,
+         |    coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
+         |  FROM t)
+         |SELECT shard, CAST(floor(pre_sum / 2048) AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, sum(tokens)::BIGINT AS pack_tokens, min(doc_id) AS first_doc
+         |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
     "q65_text_normalize" ->
       """SELECT doc_id, length(text) AS n_raw,
         |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_norm,
@@ -159,15 +165,15 @@ object TextAnalysis {
          |  FROM documents)
          |SELECT lang,
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-         |  count(*) AS n, sum(n_chars) AS sum_chars
+         |  count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
          |FROM t GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q60_text_stats" ->
       """WITH t AS (SELECT lang, text, str_split(text, ' ') w FROM documents)
         |SELECT lang, count(*) AS n_docs,
-        |  sum(len(w)::BIGINT) AS sum_words,
+        |  sum(len(w)::BIGINT)::BIGINT AS sum_words,
         |  round(avg(len(w)::DOUBLE), 6) AS avg_words,
         |  round(avg(len(list_distinct(w))::DOUBLE / len(w)::DOUBLE), 6) AS avg_diversity,
-        |  sum(length(text)::BIGINT) AS sum_chars,
+        |  sum(length(text)::BIGINT)::BIGINT AS sum_chars,
         |  max(len(w)) AS max_words
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q61_lang_id" ->
@@ -190,8 +196,8 @@ object TextAnalysis {
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
     "q62_token_count" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(len(str_split(text, ' '))::BIGINT) AS ws_tokens,
-        |  sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))::BIGINT) AS bpe_tokens,
+        |  sum(len(str_split(text, ' '))::BIGINT)::BIGINT AS ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))::BIGINT)::BIGINT AS bpe_tokens,
         |  max(len(str_split(text, ' '))) AS max_ws
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q63_fingerprint" ->

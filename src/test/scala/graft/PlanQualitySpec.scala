@@ -69,6 +69,36 @@ class PlanQualitySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
 
+  test("q73 ngram-jaccard: block-key shuffle in executors, no driver broadcast") {
+    val p = plan("q73_dedup_ngram_jaccard")
+    // the kernel must run per-block after a hash shuffle on blk —
+    // never via a driver collect()+broadcast of the hashed corpus
+    assert(p.contains("Exchange hashpartitioning"),
+      s"expected shuffle on the block key:\n$p")
+    assert(!p.contains("Broadcast"), s"no driver-side broadcast allowed:\n$p")
+  }
+
+  test("q74 cosine pairs: tile-pair shuffle in executors, no driver broadcast") {
+    val p = plan("q74_dedup_cosine")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"expected shuffle on tile-pair keys:\n$p")
+    assert(!p.contains("Broadcast"), s"no driver-side broadcast allowed:\n$p")
+  }
+
+  test("q77 IVF: cell assignment is a partial-aggregable argmax, not a corpus window") {
+    val p = plan("q77_similarity_ivf")
+    // max_by assignment must split partial/final so the map-side
+    // combine collapses corpus×centroids before the shuffle
+    assert(p.contains("max_by"), s"expected max_by assignment:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      (p.contains("partial_") && p.contains("max_by")),
+      s"assignment must be partially aggregated:\n$p")
+    // only the two query-side windows remain (probe top-nprobe, final
+    // top-k) — the corpus-side assignment window is gone
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 2, s"corpus-side Window crept back in ($windows windows):\n$p")
+  }
+
   test("whole-stage codegen covers the criteo expression chain") {
     // AQE hides codegen stages until the final plan: execute first
     val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)

@@ -6,9 +6,56 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 For each query dir under outDir: load the Spark parquet result and the
 DuckDB result of oracle_sql.json[name], sort columns by name, sort rows,
 compare cell-by-cell (exact for non-floats, tiny epsilon for floats).
+
+Additionally runs a STRICT hash compare that mirrors the driver: the
+Spark result is loaded through pandas/pyarrow (not DuckDB), rows are
+sorted via pandas sort_values, and every cell is stringified with NO
+epsilon and NO type coercion before hashing. This catches the bug
+classes the epsilon compare masks: DuckDB HUGEINT sums rendering as
+floats ('123.0' vs '123'), and array-typed cells crashing the pandas
+sort. A query only counts as PASS if both compares are green.
 """
-import sys, os, json, math
+import sys, os, json, math, datetime
 import duckdb
+import pandas as pd
+
+
+def strict_cell(v):
+    """Driver-faithful stringification: no epsilon, floats only denoised
+    to 9 decimals (int-vs-float repr differences stay visible)."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    # date vs midnight-timestamp render identically in the driver's
+    # canonicalizer (r1: q53 due_date DATE vs DuckDB TIMESTAMP passed)
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return pd.Timestamp(v).isoformat()
+    return str(v)
+
+
+def strict_compare(spark_dir, ref_df):
+    """Return (ok, msg). Loads Spark result via pyarrow/pandas like the
+    driver does, sorts rows with pandas sort_values (crashes on ndarray
+    cells exactly like the driver's canonicalizer), compares
+    stringified cells."""
+    try:
+        sdf = pd.read_parquet(spark_dir)
+        cols = sorted(sdf.columns)
+        if cols != sorted(ref_df.columns):
+            return False, f"strict columns {cols} vs {sorted(ref_df.columns)}"
+        sdf = sdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+        rdf = ref_df[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    except Exception as e:
+        return False, f"strict canonicalize error: {type(e).__name__}: {e}"
+    if len(sdf) != len(rdf):
+        return False, f"strict rows {len(sdf)} vs {len(rdf)}"
+    for i in range(len(sdf)):
+        for c in cols:
+            a, b = strict_cell(sdf.at[i, c]), strict_cell(rdf.at[i, c])
+            if a != b:
+                return False, f"strict row {i} col {c}: spark={a!r} oracle={b!r}"
+    return True, ""
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -81,6 +128,11 @@ def main():
                 break
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}")
+            n_fail += 1
+            continue
+        ok, msg = strict_compare(os.path.join(out_dir, name), ref_df)
+        if not ok:
+            print(f"FAIL {name}: {msg}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(a)} rows)")
