@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.types.{DataType, NumericType, StructType}
 
 /** The reference's user-facing verbs as idiomatic Spark syntax — a thin
   * façade over Column/DataFrame (SURVEY.md §7 design), NOT a
@@ -56,5 +57,46 @@ package object ops {
 
     /** Reference clone() ≈ materialized snapshot under immutability. */
     def snapshot(): DataFrame = { df.cache(); df }
+
+    /** Struct-wide numeric broadcast (struct_column.py:88-105): apply
+      * `f` to every numeric column, recursing into struct fields the
+      * way the reference recurses into nested StructColumns (the
+      * criteo demo nests a whole frame as `dense_grp`,
+      * demo/criteo.py:24-25). Non-numeric leaves pass through
+      * unchanged; null structs stay null.
+      */
+    def mapNumericAll(f: Column => Column, cols: Seq[String] = Nil): DataFrame = {
+      def rec(c: Column, dt: DataType): Column = dt match {
+        case s: StructType =>
+          val rebuilt = F.struct(s.fields.toSeq.map(fl =>
+            rec(c.getField(fl.name), fl.dataType).as(fl.name)): _*)
+          F.when(c.isNotNull, rebuilt)
+        case _: NumericType => f(c)
+        case _ => c
+      }
+      val pick = if (cols.isEmpty) df.schema.fieldNames.toSet else cols.toSet
+      df.select(df.schema.fields.toSeq.map { fl =>
+        if (pick(fl.name)) rec(col(fl.name), fl.dataType).as(fl.name)
+        else col(fl.name)
+      }: _*)
+    }
+
+    /** `frame + scalar` broadcast over all (nested) numeric fields
+      * (struct_column.py:88-97).
+      */
+    def addAll(v: Double, cols: Seq[String] = Nil): DataFrame =
+      mapNumericAll(_ + lit(v), cols)
+
+    /** `frame.log()` broadcast over all (nested) numeric fields
+      * (struct_column.py:99-105).
+      */
+    def logAll(cols: Seq[String] = Nil): DataFrame =
+      mapNumericAll(F.log(_), cols)
+
+    /** In-memory Arrow IPC export (reference to_arrow,
+      * string_column.py:76-87) — see [[graft.sources.ArrowInterop]]
+      * for scope.
+      */
+    def toArrowBytes: Array[Byte] = graft.sources.ArrowInterop.toArrowBytes(df)
   }
 }

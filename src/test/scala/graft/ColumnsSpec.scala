@@ -56,6 +56,29 @@ class ColumnsSpec extends SparkSpec {
     assert(flat.toSeq == Seq("abc", "de", "XYZ", "abcXYZ", "123"))
   }
 
+  test("Arrow IPC round-trip: CJK strings, null masks, mixed types survive") {
+    import spark.implicits._
+    import graft.ops._
+    // reference to_arrow/from_arrow (string_column.py:76-102,
+    // numeric_column.py:138-159): in-memory Arrow interop with
+    // validity masks intact
+    val df = Seq[(java.lang.Long, String, java.lang.Double, java.lang.Boolean)](
+        (1L, "abc", 1.5, true),
+        (null, "不只是ascii", null, false),
+        (3L, null, -0.25, null))
+      .toDF("i", "s", "d", "b")
+    val bytes = df.toArrowBytes
+    assert(bytes.nonEmpty)
+    val back = graft.sources.ArrowInterop.fromArrowBytes(bytes, spark)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val a = df.orderBy("i").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("i").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // the CJK string survives byte-exact
+    assert(back.filter(col("i").isNull).collect()(0).getString(1) == "不只是ascii")
+  }
+
   test("slice semantics: contiguous row range (reference zero-copy slice)") {
     import spark.implicits._
     val df = spark.range(100).toDF("i")

@@ -54,6 +54,29 @@ class CriteoPipelineSpec extends SparkSpec {
     assert(math.abs(out(3).getDouble(0) - math.log(896.0)) < 1e-12)
   }
 
+  test("struct-wide broadcast verbs: addAll/logAll recurse into nested dense_grp") {
+    import graft.ops._
+    // criteo.py:24-25 nests a clone of the frame as dense_grp;
+    // struct_column.py:88-105 broadcasts +scalar / log() over every
+    // field — addAll/logAll reproduce that incl. the nested struct
+    val withGrp = denseFrame
+      .fillNullAll(0)
+      .withColumn("dense_grp", struct(col("dense1"), col("dense2"), col("dense3")))
+    val out = withGrp.addAll(3.0).logAll()
+      .select(col("dense1"), col("dense_grp.dense2").as("g2"))
+      .collect()
+    assert(math.abs(out(0).getDouble(0) - math.log(1385.0)) < 1e-12)
+    assert(math.abs(out(0).getDouble(1) - math.log(3.0)) < 1e-12)  // null->0->+3->ln
+    assert(math.abs(out(3).getDouble(1) - math.log(896.0)) < 1e-12)
+    // null struct stays null through the broadcast
+    val nullStruct = denseFrame
+      .withColumn("g", when(col("dense1").isNull,
+        lit(null).cast("struct<a:double>")).otherwise(struct(col("dense1").cast("double").as("a"))))
+      .addAll(1.0, Seq("g"))
+      .select("g").collect()
+    assert(nullStruct(3).isNullAt(0) && !nullStruct(0).isNullAt(0))
+  }
+
   test("logit(1/(x+3)) chain incl. native expression parity") {
     GraftRegistry.register(spark)
     val out = denseFrame
