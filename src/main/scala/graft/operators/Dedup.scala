@@ -26,31 +26,24 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash-LSH near-duplicate pairs.
-    *
-    * Pipeline: per-row shingles → per-row MinHash signature (numHashes
-    * seeded 60-bit hashes) → explode into `bands` band keys → self-join
-    * on (band, key) → distinct candidate pairs → exact Jaccard filter.
-    * Pair collision probability ≈ 1-(1-J^rowsPerBand)^bands.
-    *
-    * Returns (id_a, id_b, jac) with id_a < id_b and jac ≥ threshold.
+  /** Per-doc (id, shingle-hash set, MinHash signature). Shingling is
+    * declarative (scan-parallel, pruned); the signature inner loop
+    * (|shingles| md5 + numHashes·|shingles| min-computations per doc)
+    * is a mapPartitions kernel — Catalyst higher-order lambdas run
+    * interpreted, the JVM loop is ~3× faster. THE canonical MinHash
+    * path: bit-identical to the declarative
+    * `TextFunctions.minhashSignature(shingleHashPairs(...))` (same
+    * md5-hex → h1/h2 byte split as mdHash/mdHash2) — identity proven
+    * in TextFunctionsSpec, so the two formulations cannot drift.
     */
-  def minhashLshPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, numHashes: Int = 48, bands: Int = 12): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // Shingling is declarative (scan-parallel, pruned); the signature
-    // inner loop (|shingles| md5 + 48·|shingles| min-computations per
-    // doc) is a mapPartitions kernel — Catalyst higher-order lambdas
-    // run interpreted, the JVM loop is ~3× faster and bit-identical
-    // (same md5-hex → h1/h2 split as TextFunctions.mdHash/mdHash2).
+  private[graft] def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = df.select(
       col(idCol).cast("long").as("id"),
       wordShingles(words(col(textCol)), 3).as("sh"))
-    val hashed = sh.as[(Long, Seq[String])].mapPartitions { it =>
+    sh.as[(Long, Seq[String])].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, shingles) =>
         val m = shingles.length
@@ -86,6 +79,24 @@ object Dedup {
         (id, h1, sig)
       }
     }.toDF("id", "hset", "sig")
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * Pipeline: per-row shingles → per-row MinHash signature (numHashes
+    * seeded 60-bit hashes, via [[minhashSignatures]]) → explode into
+    * `bands` band keys → self-join on (band, key) → distinct candidate
+    * pairs → exact Jaccard filter.
+    * Pair collision probability ≈ 1-(1-J^rowsPerBand)^bands.
+    *
+    * Returns (id_a, id_b, jac) with id_a < id_b and jac ≥ threshold.
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 48, bands: Int = 12): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val hashed = minhashSignatures(df, idCol, textCol, numHashes)
     val banded = hashed
       .select(col("id"), col("hset"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
@@ -122,12 +133,52 @@ object Dedup {
         round(col("q"), 6).as("kept_quality"))
   }
 
+  /** Per-doc 16-bit SimHash sketch, JVM kernel: one md5 per DISTINCT
+    * word (the declarative `TextFunctions.simhash16` recomputes the
+    * hash inside a per-bit lambda — 16× the digests, interpreted).
+    * Same md5→60-bit byte-mask parse as [[minhashSignatures]], same
+    * majority-vote-per-bit formula — bit-identity with the declarative
+    * form is proven in TextFunctionsSpec.
+    */
+  private[graft] def simhashSketches(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), words(col(textCol)).as("w"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, ws) =>
+          val seen = new java.util.HashSet[String]()
+          val counts = new Array[Int](16)
+          ws.foreach { wd =>
+            if (seen.add(wd)) {
+              md.reset()
+              val dg = md.digest(wd.getBytes("UTF-8"))
+              var a = 0L
+              var k = 0
+              while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+              val h = (a << 4) | ((dg(7) & 0xf0L) >> 4)
+              var b = 0
+              while (b < 16) {
+                counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+                b += 1
+              }
+            }
+          }
+          var sh = 0L
+          var b = 0
+          while (b < 16) { if (counts(b) >= 0) sh |= 1L << b; b += 1 }
+          (id, sh)
+        }
+      }.toDF("id", "sh16")
+  }
+
   /** SimHash groups: docs sharing an identical 16-bit sketch (duplicate
     * clusters). Returns (simhash, n_docs, min_id) for groups of ≥ 2.
     */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
-      .withColumn("sh16", simhash16("w"))
+    simhashSketches(df, idCol, textCol)
       .groupBy("sh16")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"))
       .filter(col("n_docs") >= 2)

@@ -84,4 +84,43 @@ class TextFunctionsSpec extends SparkSpec {
       .filter(col("n_copies") >= 2).collect()
     assert(g.length == 1 && g(0).getAs[Long]("kept_id") == 1L && g(0).getAs[Long]("n_copies") == 2L)
   }
+
+  test("MinHash kernel is bit-identical to the declarative formulation") {
+    import spark.implicits._
+    // Dedup.minhashSignatures (md5-byte-mask JVM kernel) is THE
+    // canonical path; TextFunctions.minhashSignature (hex-substring
+    // Catalyst expressions) must produce the same 48 longs per doc or
+    // the two implementations have drifted.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs for the long trip home"),
+      (3L, "sphinx of black quartz judge my vow said the 不只是 weary traveler"))
+      .toDF("doc_id", "text")
+    val kernel = Dedup.minhashSignatures(docs, "doc_id", "text", 48)
+      .select(col("id"), col("sig")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    val declarative = docs.select(
+        col("doc_id").as("id"),
+        minhashSignature(shingleHashPairs(wordShingles(words(col("text")), 3)), 48).as("sig"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    assert(kernel.toSeq == declarative.toSeq)
+  }
+
+  test("SimHash kernel is bit-identical to the declarative formulation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs for the long trip home"),
+      (3L, "sphinx of black quartz judge my vow said the 不只是 weary traveler"))
+      .toDF("doc_id", "text")
+    val kernel = Dedup.simhashSketches(docs, "doc_id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val declarative = docs.select(col("doc_id").as("id"),
+        words(col("text")).as("w"))
+      .withColumn("sh16", simhash16("w"))
+      .select("id", "sh16")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kernel.toSeq == declarative.toSeq)
+  }
 }
