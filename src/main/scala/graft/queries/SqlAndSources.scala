@@ -98,6 +98,116 @@ object SqlAndSources {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** TPC-H Q4 shape: correlated EXISTS (incl. a non-equi conjunct on
+    * the outer row) + count by priority. The synthetic lineitem has no
+    * commit/receipt dates; "late line" is approximated as a line
+    * shipped >60 days after the order date.
+    */
+  private val q45SqlQ4Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q12 shape: join + conditional (CASE) aggregation. */
+  private val q46SqlQ12Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+  }
+
+  /** TPC-H Q14 shape: conditional revenue ratio (promo share). */
+  private val q47SqlQ14Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT round(100.00 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+        |  AND l_shipdate < TIMESTAMP '1996-08-01'""".stripMargin)
+  }
+
+  /** TPC-H Q16 shape: NOT IN subquery + grouped count distinct. */
+  private val q48SqlQ16Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT p_brand, count(DISTINCT s_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size IN (5, 15, 25, 35)
+        |  AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""".stripMargin)
+  }
+
+  /** TPC-H Q19 shape: OR-of-ANDs predicate — Catalyst extracts the
+    * common l_partkey = p_partkey conjunct so the join stays an
+    * equi-join with a residual filter (not a nested loop).
+    */
+  private val q38SqlQ19Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin)
+  }
+
+  /** ORC sink + source round-trip over part (built-in columnar format
+    * beyond parquet; values integer/string/double — lossless trip).
+    */
+  private val q96OrcRoundtrip: Q = (s, d) => {
+    val tmp = s"/tmp/graft_orc_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.part(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        max(col("p_size")).as("max_size"),
+        graft.functions.GraftFunctions.dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  /** Line-oriented text sink + source round-trip: document texts out as
+    * UTF-8 lines, read back with the `text` source (one `value` row per
+    * line), word histogram on top. Filter keeps single-line docs so the
+    * trip is bijective.
+    */
+  private val q97TextRoundtrip: Q = (s, d) => {
+    val tmp = s"/tmp/graft_text_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200 && !col("text").contains("\n"))
+      .select(col("text"))
+      .write.mode("overwrite").text(tmp)
+    s.read.text(tmp)
+      .select(explode(split(col("value"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(15)
+  }
+
   /** TPC-H Q15 shape: CTE revenue view + max scalar subquery. */
   private val q95SqlQ15Shape: Q = (s, d) => {
     Tables.registerAll(s, d)
@@ -118,8 +228,15 @@ object SqlAndSources {
     "q93_sql_correlated_subquery" -> q93SqlCorrelated,
     "q94_sql_q22_shape" -> q94SqlQ22Shape,
     "q95_sql_q15_shape" -> q95SqlQ15Shape,
+    "q45_sql_q4_shape" -> q45SqlQ4Shape,
+    "q46_sql_q12_shape" -> q46SqlQ12Shape,
+    "q47_sql_q14_shape" -> q47SqlQ14Shape,
+    "q48_sql_q16_shape" -> q48SqlQ16Shape,
+    "q38_sql_q19_shape" -> q38SqlQ19Shape,
     "q91_csv_roundtrip" -> q91CsvRoundtrip,
     "q92_json_roundtrip" -> q92JsonRoundtrip,
+    "q96_orc_roundtrip" -> q96OrcRoundtrip,
+    "q97_text_roundtrip" -> q97TextRoundtrip,
     "q49_json_regex" -> q49JsonRegex)
 
   val oracles: Map[String, String] = Map(
@@ -164,6 +281,60 @@ object SqlAndSources {
       """SELECT s_nationkey, count(*) AS n,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q45_sql_q4_shape" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q46_sql_q12_shape" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q47_sql_q14_shape" ->
+      """SELECT round(100.00 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+        |  AND l_shipdate < TIMESTAMP '1996-08-01'""".stripMargin,
+    "q48_sql_q16_shape" ->
+      """SELECT p_brand, count(DISTINCT s_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size IN (5, 15, 25, 35)
+        |  AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""".stripMargin,
+    "q38_sql_q19_shape" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q96_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, max(p_size) AS max_size,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q97_text_roundtrip" ->
+      """WITH w AS (SELECT unnest(str_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 200 AND NOT contains(text, chr(10)))
+        |SELECT word, count(*) AS n FROM w
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 15""".stripMargin,
     "q49_json_regex" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
