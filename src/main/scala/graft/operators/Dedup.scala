@@ -113,6 +113,46 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Connected components over near-duplicate pairs: every doc gets the
+    * min doc-id of its component as `cluster_id` — the step that turns
+    * pairwise discovery ([[minhashLshPairs]] etc.) into actionable
+    * dedup clusters ("keep one per cluster").
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * the (symmetrized) edge set and takes the per-node min, stopping at
+    * convergence (rounds ≈ component diameter — near-dup clusters are
+    * clique-like, so 1-2 rounds in practice, O(log n) worst case for
+    * chains). Each round is one shuffle join + partial-aggregable min;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * does not replay rounds 1..N-1 (on a cluster: `checkpoint` to a
+    * reliable dir). The convergence probe is a count() action — a
+    * scalar, not a driver materialization.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels.select(col("id"), col("label")))
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = prop.as("a").join(labels.as("b"), Seq("id"))
+        .filter(col("a.label") =!= col("b.label")).count()
+      labels = prop
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Keep-best dedup policy: within each duplicate cluster (shared
     * bag-of-words fingerprint), keep the highest-quality doc — the
     * realistic pipeline step after cluster discovery. Returns one row

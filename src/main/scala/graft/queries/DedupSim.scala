@@ -112,8 +112,22 @@ object DedupSim {
     Dedup.keepBestByFingerprint(Tables.documents(s, d), "doc_id", "text")
       .orderBy("fp")
 
+  /** Near-dup clusters: MinHash-LSH pairs → connected components →
+    * per-cluster membership summary. The oracle reproduces the
+    * component labels with a recursive CTE over the same pair set.
+    */
+  private val q68DedupClusters: Q = (s, d) => {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.8, numHashes = 48, bands = 12)
+    Dedup.nearDupClusters(pairs)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+      .orderBy("cluster_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q70_dedup_exact" -> q70DedupExact,
+    "q68_dedup_clusters" -> q68DedupClusters,
     "q78_dedup_keep_best" -> q78DedupKeepBest,
     "q79_embedding_quantize" -> q79EmbeddingQuantize,
     "q71_dedup_minhash_lsh" -> q71MinhashLsh,
@@ -146,6 +160,33 @@ object DedupSim {
       |  FROM base WHERE vec_id % 5 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q68_dedup_clusters" ->
+      s"""${shinglesCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |sig AS (SELECT doc_id, s,
+         |    [list_min(list_transform(s, x ->
+         |      ${h.format("x")} + i * ('0x' || substr(md5(x), 16, 12))::BIGINT))
+         |      for i in range(0, 48)] sig
+         |  FROM sh),
+         |hs AS (SELECT doc_id, list_transform(s, x -> ${h.format("x")}) hh FROM sh),
+         |bands AS (SELECT doc_id, b,
+         |    array_to_string(sig[b*4+1 : b*4+4], ',') bkey
+         |  FROM sig, (SELECT unnest(range(0, 12)) b) bs),
+         |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+         |    len(list_intersect(x.hh, y.hh))::DOUBLE /
+         |      (len(x.hh)::DOUBLE + len(y.hh)::DOUBLE - len(list_intersect(x.hh, y.hh))::DOUBLE) jac
+         |  FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b)
+         |  WHERE jac >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id, count(*) AS n_docs, max(id) AS max_id
+         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q79_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),

@@ -66,6 +66,29 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase matched to same-user
+    * clicks at most `maxGap` BEFORE it. Both sides watermarked — the
+    * time bound lets Spark evict join state once the watermark passes
+    * (unbounded state otherwise), the standard funnel-attribution
+    * shape at scale.
+    */
+  def clickPurchaseJoin(events: DataFrame, watermark: String, maxGap: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("purchase_id"), col("click_id"),
+        col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
+  }
+
   case class UserRunning(userId: Long, nEvents: Long, sumValue: Double, lastTs: Timestamp)
 
   /** Custom stateful aggregation via flatMapGroupsWithState: running

@@ -149,6 +149,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.clickPurchaseJoin(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    input.addData(
+      Ev(1, ts(1), 1, "click", 1.0),      // in-window for purchase@10:04
+      Ev(2, ts(2), 2, "click", 1.0),      // other user — must not match
+      Ev(3, ts(4), 1, "purchase", 9.0),
+      Ev(4, ts(30), 1, "click", 1.0),     // >5 min before purchase@10:40 — out of window
+      Ev(5, ts(40), 1, "purchase", 5.0))
+    q.processAllAvailable()
+    input.addData(Ev(6, ts(59), 9, "click", 1.0))  // advance watermark to finalize
+    q.processAllAvailable()
+    val pairs = spark.table("ssjoin")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs == Set((3L, 1L)), s"got $pairs")
+  }
+
   test("session window in streaming mode merges within-gap events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
