@@ -244,10 +244,34 @@ object Dedup {
     // array_intersect/list_intersect.
     val spark = df.sparkSession
     import spark.implicits._
+    // hash BEFORE the shuffle: md5 per shingle in a JVM loop (the
+    // declarative transform(mdHash) runs interpreted — measured ~2×
+    // slower), and the shuffle then carries 8-byte longs, not shingle
+    // strings. Same md5→60-bit byte-mask parse as minhashSignatures
+    // (bit-identity with mdHash proven in TextFunctionsSpec).
     val sh = df.select(
         col(blockCol).cast("string").as("blk"), col(idCol).cast("long").as("id"),
-        sort_array(transform(wordShingles(words(col(textCol)), n), s => mdHash(s))).as("hset"))
-      .as[(String, Long, Array[Long])]
+        wordShingles(words(col(textCol)), n).as("sh"))
+      .as[(String, Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (blk, id, shingles) =>
+          val m = shingles.length
+          val h = new Array[Long](m)
+          var j = 0
+          while (j < m) {
+            md.reset()
+            val dg = md.digest(shingles(j).getBytes("UTF-8"))
+            var a = 0L
+            var k = 0
+            while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+            h(j) = (a << 4) | ((dg(7) & 0xf0L) >> 4)
+            j += 1
+          }
+          java.util.Arrays.sort(h)
+          (blk, id, h)
+        }
+      }
     sh.groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
         val block = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)

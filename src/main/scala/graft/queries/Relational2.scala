@@ -120,8 +120,28 @@ object Relational2 {
       .orderBy("purchase_id")
   }
 
+  /** Pure inequality (no equi-key) range join via bin-equi rewrite:
+    * price points against ±1000 price bands. Without the binning this
+    * plans as an interpreted BroadcastNestedLoopJoin — with it, a hash
+    * join on the bin id (asserted in PlanQualitySpec).
+    */
+  private val q39RangeBinJoin: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val points = o.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("p_key"), col("o_totalprice").as("price"))
+    val bands = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("b_key"),
+        (col("o_totalprice") - 1000.0).as("lo"),
+        (col("o_totalprice") + 1000.0).as("hi"))
+    graft.operators.Joins.binnedRangeJoin(points, "price", bands, "lo", "hi", 1000.0)
+      .groupBy("b_key")
+      .agg(count(lit(1)).as("n_in_band"), min(col("p_key")).as("first_point"))
+      .orderBy("b_key")
+  }
+
   val defs: Map[String, Q] = Map(
     "q07_agg_approx_distinct" -> q07ApproxDistinct,
+    "q39_range_bin_join" -> q39RangeBinJoin,
     "q08_agg_percentile_corr" -> q08PercentileCorr,
     "q09_agg_pivot" -> q09Pivot,
     "q44_grouping_sets" -> q44GroupingSets,
@@ -138,6 +158,15 @@ object Relational2 {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cust,
         |  TRUE AS within_15pct
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q39_range_bin_join" ->
+      """WITH p AS (SELECT o_orderkey AS p_key, o_totalprice AS price
+        |    FROM orders WHERE o_orderkey % 11 = 0),
+        |b AS (SELECT o_orderkey AS b_key, o_totalprice - 1000.0 AS lo,
+        |    o_totalprice + 1000.0 AS hi
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT b_key, count(*) AS n_in_band, min(p_key) AS first_point
+        |FROM b JOIN p ON price >= lo AND price <= hi
+        |GROUP BY b_key ORDER BY b_key""".stripMargin,
     "q08_agg_percentile_corr" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

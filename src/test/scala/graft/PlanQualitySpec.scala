@@ -99,6 +99,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(windows <= 2, s"corpus-side Window crept back in ($windows windows):\n$p")
   }
 
+  test("q39 binned range join plans as a hash join, not a nested loop") {
+    val p = plan("q39_range_bin_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join must not nested-loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi join on the bin id:\n$p")
+  }
+
   test("whole-stage codegen covers the criteo expression chain") {
     // AQE hides codegen stages until the final plan: execute first
     val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)
