@@ -44,6 +44,77 @@ object Multimodal {
       .as[MediaItem]
   }
 
+  case class ResizedMedia(id: Long, outW: Int, outH: Int, nBytes: Int, checksum: Long)
+  case class FrameSample(id: Long, nFrames: Int, nSampled: Int, checksum: Long)
+
+  private def hash60(md: MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val dg = md.digest(bytes)
+    var a = 0L
+    var k = 0
+    while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+    (a << 4) | ((dg(7) & 0xf0L) >> 4)
+  }
+
+  /** Nearest-neighbor "resize": the payload is treated as a
+    * meta.width × meta.height row-major raster (indices wrap modulo the
+    * payload length — the stand-in for real pixel data); output pixel
+    * (r,c) samples source pixel (r·h/newH, c·w/newW). Real byte-level
+    * resampling in a partition-wise kernel — swap the sampling loop
+    * for libjpeg/swscale when codecs exist. Output carries the
+    * resampled byte count and a 60-bit md5 checksum of the new
+    * payload so the resample is oracle-verifiable.
+    */
+  def resizeNearest(media: Dataset[MediaItem], newW: Int, newH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { items =>
+      val md = MessageDigest.getInstance("MD5")
+      items.map { m =>
+        val len = m.payload.length
+        val out = new Array[Byte](newW * newH)
+        var i = 0
+        while (i < out.length) {
+          val r = i / newW
+          val c = i % newW
+          val src = (r * m.meta.height / newH) * m.meta.width + (c * m.meta.width / newW)
+          out(i) = m.payload(src % len)
+          i += 1
+        }
+        ResizedMedia(m.id, newW, newH, out.length, hash60(md, out))
+      }
+    }
+  }
+
+  /** Video-style frame sampling: the payload splits into consecutive
+    * `frameSize`-byte frames; every `everyK`-th frame (0, k, 2k, …) is
+    * kept and concatenated. Output = frame counts + a 60-bit md5
+    * checksum of the sampled bytes. The partition-wise byte plumbing is
+    * real; a real pipeline would hand each kept frame to a decoder.
+    */
+  def frameSample(media: Dataset[MediaItem], frameSize: Int, everyK: Int): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { items =>
+      val md = MessageDigest.getInstance("MD5")
+      items.map { m =>
+        val nFrames = (m.payload.length + frameSize - 1) / frameSize
+        val buf = new java.io.ByteArrayOutputStream()
+        var f = 0
+        var n = 0
+        while (f < nFrames) {
+          if (f % everyK == 0) {
+            val start = f * frameSize
+            buf.write(m.payload, start, math.min(frameSize, m.payload.length - start))
+            n += 1
+          }
+          f += 1
+        }
+        FrameSample(m.id, nFrames, n, hash60(md, buf.toByteArray))
+      }
+    }
+  }
+
   /** Partition-wise "decode": one MessageDigest per partition (the
     * expensive-codec-initialization pattern), then a streaming pass over
     * rows. Checksum = first 60 bits of md5(payload); frameHex = first

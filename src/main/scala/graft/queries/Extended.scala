@@ -51,6 +51,36 @@ object Extended {
       .orderBy("id")
   }
 
+  /** ASCII-only media subset: byte index == char index, so the DuckDB
+    * oracle can reproduce byte-level sampling with char substr. The
+    * kernels themselves are byte-based and encoding-agnostic.
+    */
+  private def asciiMedia(s: org.apache.spark.sql.SparkSession, d: String) =
+    Multimodal.mediaFromDocuments(
+      Tables.documents(s, d).filter(
+        col("doc_id") < 300 &&
+          octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) > 0))
+
+  /** Multimodal nearest-neighbor resize: 8×6 thumbnail raster sampled
+    * from the (fake) width×height payload raster; checksum of the
+    * resampled bytes is oracle-verified.
+    */
+  private val q83MultimodalResize: Q = (s, d) =>
+    Multimodal.resizeNearest(asciiMedia(s, d), 8, 6).toDF()
+      .select(col("id"), col("outW").as("out_w"), col("outH").as("out_h"),
+        col("nBytes").as("n_bytes"), col("checksum"))
+      .orderBy("id")
+
+  /** Multimodal frame sampling: 32-byte frames, every 3rd kept;
+    * counts + sampled-bytes checksum oracle-verified.
+    */
+  private val q84MultimodalFrameSample: Q = (s, d) =>
+    Multimodal.frameSample(asciiMedia(s, d), 32, 3).toDF()
+      .select(col("id"), col("nFrames").as("n_frames"),
+        col("nSampled").as("n_sampled"), col("checksum"))
+      .orderBy("id")
+
   /** Custom Generator (UDTF) through the SQL surface: text → shingle
     * rows → top-15 histogram.
     */
@@ -67,7 +97,9 @@ object Extended {
     "q33_udaf_geomean" -> q33Geomean,
     "q36_custom_generator" -> q36CustomGenerator,
     "q34_native_logit" -> q34NativeLogit,
-    "q35_multimodal_decode" -> q35Multimodal)
+    "q35_multimodal_decode" -> q35Multimodal,
+    "q83_multimodal_resize" -> q83MultimodalResize,
+    "q84_multimodal_frame_sample" -> q84MultimodalFrameSample)
 
   val oracles: Map[String, String] = Map(
     "q36_custom_generator" ->
@@ -83,6 +115,34 @@ object Extended {
       """SELECT l_orderkey, l_linenumber,
         |  round(ln((l_discount + 0.05) / (1.0 - (l_discount + 0.05))), 6) AS logit_disc
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q83_multimodal_resize" ->
+      """WITH t AS (SELECT doc_id AS id, text,
+        |    ((doc_id % 8) * 160 + 320)::INT AS w,
+        |    ((doc_id % 8) * 90 + 180)::INT AS h,
+        |    length(text) AS len
+        |  FROM documents
+        |  WHERE doc_id < 300 AND octet_length(encode(text)) = length(text)
+        |    AND length(text) > 0),
+        |px AS (SELECT id,
+        |    array_to_string([substr(text,
+        |        ((((i // 8) * h) // 6) * w + (((i % 8) * w) // 8)) % len + 1, 1)
+        |      for i in range(0, 48)], '') AS out
+        |  FROM t)
+        |SELECT id, 8 AS out_w, 6 AS out_h, 48 AS n_bytes,
+        |  ('0x' || substr(md5(out), 1, 15))::BIGINT AS checksum
+        |FROM px ORDER BY id""".stripMargin,
+    "q84_multimodal_frame_sample" ->
+      """WITH t AS (SELECT doc_id AS id, text, length(text) AS len
+        |  FROM documents
+        |  WHERE doc_id < 300 AND octet_length(encode(text)) = length(text)
+        |    AND length(text) > 0),
+        |fr AS (SELECT id, ((len + 31) // 32)::INT AS n_frames,
+        |    array_to_string([substr(text, f * 32 + 1, 32)
+        |      for f in range(0, ((len + 31) // 32)) if f % 3 = 0], '') AS samp
+        |  FROM t)
+        |SELECT id, n_frames, ((n_frames + 2) // 3)::INT AS n_sampled,
+        |  ('0x' || substr(md5(samp), 1, 15))::BIGINT AS checksum
+        |FROM fr ORDER BY id""".stripMargin,
     "q35_multimodal_decode" ->
       """SELECT doc_id AS id, source,
         |  octet_length(encode(text))::BIGINT AS n_bytes,
