@@ -6,16 +6,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.LogitExpr
 
-/** Injects graft's native functions into every session when configured
-  * with `spark.sql.extensions=graft.GraftExtensions` (cluster-wide
+/** Injects graft's native functions and optimizer rules into every
+  * session when configured with
+  * `spark.sql.extensions=graft.GraftExtensions` (cluster-wide
   * installation path; ad-hoc sessions can call GraftRegistry.register).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_logit"),
       new ExpressionInfo(classOf[LogitExpr].getName, "graft_logit"),
       (exprs: Seq[Expression]) => LogitExpr(
         org.apache.spark.sql.catalyst.expressions.Cast(
           exprs.head, org.apache.spark.sql.types.DoubleType))))
+    // automatic range-join binning, opt-in via
+    // spark.graft.rangeJoin.binWidth (see plans.RangeBinJoinRule)
+    ext.injectOptimizerRule(graft.plans.RangeBinJoinRule)
+  }
 }

@@ -107,6 +107,36 @@ class PlanQualitySpec extends SparkSpec {
       s"expected an equi join on the bin id:\n$p")
   }
 
+  test("RangeBinJoinRule: naive inequality join auto-binned, row-identical to control") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.graft.rangeJoin.binWidth"
+    val o = Tables.orders(spark, sf)
+    def joined = {
+      val points = o.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey").as("pk"), col("o_totalprice").as("price"))
+      val bands = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("bk"),
+          (col("o_totalprice") - 1000.0).as("lo"),
+          (col("o_totalprice") + 1000.0).as("hi"))
+      // the naive formulation a user writes — no manual binning
+      points.join(bands, col("price") >= col("lo") && col("price") <= col("hi"))
+    }
+    spark.conf.set(key, "1000.0")
+    try {
+      val fast = joined
+      val fp = fast.queryExecution.executedPlan.toString
+      assert(!fp.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$fp")
+      val fastRows = fast.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      spark.conf.set(key, "0")
+      val naive = joined
+      val np = naive.queryExecution.executedPlan.toString
+      assert(np.contains("BroadcastNestedLoopJoin"), s"control should nested-loop:\n$np")
+      val naiveRows = naive.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      assert(fastRows == naiveRows, "binned join must be row-identical to the naive join")
+      assert(fastRows.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("whole-stage codegen covers the criteo expression chain") {
     // AQE hides codegen stages until the final plan: execute first
     val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)
