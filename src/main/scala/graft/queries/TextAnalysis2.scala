@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Q
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Second text-analysis batch: the corpus-statistics operators a
+  * pre-training data pipeline runs after per-doc scoring — vocabulary
+  * building, language-model scoring, repetition (Gopher-style) quality
+  * signals, TF-IDF term extraction. All are explode → shuffle-on-word
+  * → join shapes: |shuffle| is corpus token count, never pairwise.
+  */
+object TextAnalysis2 {
+
+  /** Vocabulary build: top-200 words by corpus frequency with dense
+    * ranks — the id-assignment step before tokenizer training. One
+    * explode + one shuffle on word; the rank window runs over the
+    * already-aggregated (small) vocab, not the corpus.
+    */
+  private val q69VocabBuild: Q = (s, d) => {
+    val w = Window.orderBy(col("n").desc, col("word").asc)
+    Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(200)
+      .withColumn("rank", row_number().over(w))
+      .select("rank", "word", "n")
+      .orderBy("rank")
+  }
+
+  /** Unigram language-model score per doc: avg over words of
+    * ln(count(word)/total_tokens), the cheapest perplexity-style
+    * quality signal. Per-word logprobs are cast to DECIMAL(20,9)
+    * before the per-doc sum so the aggregation is exact and
+    * partition-order independent (raw double sums would hash-mismatch
+    * across engines).
+    */
+  private val q85UnigramLogprob: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val vocab = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = tokens.count()  // scalar action, not a driver dataset
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .withColumn("lp",
+        log(col("cnt").cast(DoubleType) / lit(total.toDouble))
+          .cast("decimal(20,9)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("lp")).as("sum_lp"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round((col("sum_lp").cast(DoubleType) / col("n_words").cast(DoubleType)), 6)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals per doc: fraction of duplicate
+    * word 3-grams and the highest single-word frequency ratio — the
+    * standard "is this boilerplate/spam" quality filters. Pure per-row
+    * array expressions, zero shuffle.
+    */
+  private val q87RepetitionSignals: Q = (s, d) => {
+    val allGrams = transform(
+      sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+      i => concat_ws(" ", slice(col("w"), i, lit(3))))
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .withColumn("w", words(col("text")))
+      .withColumn("g", allGrams)
+      .withColumn("dw", array_distinct(col("w")))
+      .select(
+        col("doc_id"),
+        size(col("g")).as("n_3grams"),
+        size(array_distinct(col("g"))).as("n_distinct_3grams"),
+        round(lit(1.0) - size(array_distinct(col("g"))).cast(DoubleType) /
+          size(col("g")).cast(DoubleType), 6).as("dup_3gram_frac"),
+        round(array_max(transform(col("dw"),
+            wd => size(filter(col("w"), x => x === wd)))).cast(DoubleType) /
+          size(col("w")).cast(DoubleType), 6).as("max_word_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF top terms: per doc the 3 highest tf·idf words
+    * (idf = ln(N/df)). Shuffles are word-keyed aggregations plus one
+    * broadcast join of the (vocab-sized) df table; the top-3 window
+    * partitions by doc. Deterministic: score is a single double
+    * product per (doc, word) — no accumulation — with a rounded-score
+    * + word tie-break.
+    */
+  private val q88TfidfTopTerms: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val tokens = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(round(col("score"), 9).desc, col("word").asc)
+    tf.filter(col("doc_id") < 50)
+      .join(broadcast(df), Seq("word"))
+      .join(docLen, Seq("doc_id"))
+      .withColumn("score",
+        (col("cnt").cast(DoubleType) / col("len").cast(DoubleType)) *
+          log(lit(nDocs.toDouble) / col("df").cast(DoubleType)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q69_vocab_build" -> q69VocabBuild,
+    "q85_unigram_logprob" -> q85UnigramLogprob,
+    "q87_repetition_signals" -> q87RepetitionSignals,
+    "q88_tfidf_top_terms" -> q88TfidfTopTerms)
+
+  val oracles: Map[String, String] = Map(
+    "q69_vocab_build" ->
+      """WITH w AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT word, count(*) AS n FROM w GROUP BY word
+        |  ORDER BY n DESC, word ASC LIMIT 200)
+        |SELECT row_number() OVER (ORDER BY n DESC, word ASC) AS rank, word, n
+        |FROM v ORDER BY rank""".stripMargin,
+    "q85_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT word, count(*) AS cnt FROM t GROUP BY word),
+        |tot AS (SELECT count(*)::DOUBLE AS total FROM t),
+        |lp AS (SELECT t.doc_id,
+        |    CAST(ln(v.cnt::DOUBLE / tot.total) AS DECIMAL(20,9)) AS lp
+        |  FROM t JOIN v USING (word) CROSS JOIN tot
+        |  WHERE t.doc_id < 100)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*)::DOUBLE, 6) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q87_repetition_signals" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+        |    WHERE doc_id < 100),
+        |g AS (SELECT doc_id, w,
+        |    [array_to_string(w[i:i+2], ' ')
+        |      for i in range(1, greatest(len(w) - 2, 1) + 1)] AS g,
+        |    list_distinct(w) AS dw
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(g) AS n_3grams,
+        |  len(list_distinct(g)) AS n_distinct_3grams,
+        |  round(1.0 - len(list_distinct(g))::DOUBLE / len(g)::DOUBLE, 6) AS dup_3gram_frac,
+        |  round(list_max(list_transform(dw,
+        |      wd -> len(list_filter(w, x -> x = wd))))::DOUBLE / len(w)::DOUBLE, 6)
+        |    AS max_word_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q88_tfidf_top_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS cnt FROM t GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, count(*) AS len FROM t GROUP BY doc_id),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.word,
+        |    (tf.cnt::DOUBLE / dl.len::DOUBLE) * ln(nd.n / df.df::DOUBLE) AS score
+        |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN nd
+        |  WHERE tf.doc_id < 50),
+        |ranked AS (SELECT doc_id, word, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(score, 9) DESC, word ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, word, round(score, 6) AS score
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
+}
