@@ -229,16 +229,19 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, tiles: Int = 8): DataFrame = {
     // Jaccard over 60-bit shingle hashes. The pair loop is a
     // branch-light numeric kernel that a declarative join would
     // evaluate interpreted (~6µs/pair) — so: shingle-hash each doc
-    // declaratively (scan-parallel), shuffle ONCE on the block key
-    // (groupByKey), and run the sorted-merge kernel per block inside
-    // the executors. Nothing is materialized on the driver; per-task
-    // memory is bounded by the largest block — the contract a blocking
-    // key exists to provide.
-    // Exact prunes before touching arrays: id order + the size band
+    // in a pre-shuffle JVM kernel, then shuffle on (block, tile-pair)
+    // and run the sorted-merge kernel per group in the executors.
+    // The tile-pair decomposition INSIDE each block matters at scale:
+    // blocking keys are skewed (an "en" block is most of a web corpus),
+    // so a plain per-block shuffle serializes the biggest block on one
+    // task — with tiles, per-task memory and work drop to 2/tiles of a
+    // block, and parallelism is |blocks|·tiles²/2 instead of |blocks|.
+    // Nothing is materialized on the driver.
+    // Exact prunes before touching arrays: the size band
     // (J ≥ t ⇒ min/max ≥ t). Distinct-intersection over sorted arrays
     // by two-pointer with duplicate skip — identical counts to
     // array_intersect/list_intersect.
@@ -272,17 +275,27 @@ object Dedup {
           (blk, id, h)
         }
       }
-    sh.groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
-        val block = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+    val t = tiles
+    sh.flatMap { case (blk, id, h) =>
+        val ti = (id % t).toInt
+        (0 until t).map(o => (blk, math.min(ti, o), math.max(ti, o), ti, id, h))
+      }
+      .groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroups { (key: (String, Int, Int),
+          it: Iterator[(String, Int, Int, Int, Long, Array[Long])]) =>
+        val (_, ti, tj) = key
+        val rows = it.toArray
+        val left = rows.collect { case (_, _, _, tt, id, h) if tt == ti => (id, h) }.sortBy(_._1)
+        val right = if (ti == tj) left
+          else rows.collect { case (_, _, _, tt, id, h) if tt == tj => (id, h) }.sortBy(_._1)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         var ai = 0
-        while (ai < block.length) {
-          val (ida, ha) = block(ai)
+        while (ai < left.length) {
+          val (ida, ha) = left(ai)
           val na = ha.length
-          var k = ai + 1
-          while (k < block.length) {
-            val (idb, hb) = block(k)
+          var k = if (ti == tj) ai + 1 else 0
+          while (k < right.length) {
+            val (idb, hb) = right(k)
             val nb = hb.length
             if (math.min(na, nb).toDouble >= threshold * math.max(na, nb).toDouble) {
               var i = 0; var j = 0; var cnt = 0
@@ -297,7 +310,8 @@ object Dedup {
                 }
               }
               val jac = cnt.toDouble / (na.toDouble + nb.toDouble - cnt.toDouble)
-              if (jac >= threshold) out += ((ida, idb, jac))
+              if (jac >= threshold)
+                out += (if (ida < idb) (ida, idb, jac) else (idb, ida, jac))
             }
             k += 1
           }
