@@ -115,13 +115,45 @@ object TextAnalysis2 {
       .orderBy("doc_id", "rk")
   }
 
+  /** PII / boilerplate scan: per-source counts of email-, URL- and
+    * long-digit-run-shaped tokens — the redaction/filtering pre-pass
+    * every training-data pipeline runs. Pure regexp_count projections
+    * (scan-parallel, pushdown-friendly) + one small aggregation.
+    */
+  private val q86PiiScan: Q = (s, d) => {
+    val email = regexp_count(col("text"), lit("[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+    val url = regexp_count(col("text"), lit("https?://[^ ]+"))
+    val digitRun = regexp_count(col("text"), lit("[0-9]{7,}"))
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(email.cast(LongType)).as("n_emails"),
+        sum(url.cast(LongType)).as("n_urls"),
+        sum(digitRun.cast(LongType)).as("n_digit_runs"),
+        count(when(email + url + digitRun > 0, 1)).as("n_flagged"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q69_vocab_build" -> q69VocabBuild,
+    "q86_pii_scan" -> q86PiiScan,
     "q85_unigram_logprob" -> q85UnigramLogprob,
     "q87_repetition_signals" -> q87RepetitionSignals,
     "q88_tfidf_top_terms" -> q88TfidfTopTerms)
 
   val oracles: Map[String, String] = Map(
+    "q86_pii_scan" ->
+      """WITH t AS (SELECT source,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |    len(regexp_extract_all(text, 'https?://[^ ]+')) AS u,
+        |    len(regexp_extract_all(text, '[0-9]{7,}')) AS dr
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(e)::BIGINT AS n_emails, sum(u)::BIGINT AS n_urls,
+        |  sum(dr)::BIGINT AS n_digit_runs,
+        |  count(CASE WHEN e + u + dr > 0 THEN 1 END) AS n_flagged
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q69_vocab_build" ->
       """WITH w AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents),
         |v AS (SELECT word, count(*) AS n FROM w GROUP BY word
