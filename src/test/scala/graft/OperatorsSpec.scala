@@ -44,6 +44,28 @@ class OperatorsSpec extends SparkSpec {
     assert(u(0).getString(1) == "x" && u(1).isNullAt(1))
   }
 
+  test("nearDupClusters converges on a chain (diameter > 2) and keeps components apart") {
+    import spark.implicits._
+    // chain 1-2-3-10 needs multiple propagation rounds (min label 1
+    // must travel 3 hops); {20,21} is a separate component
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val labels = graft.operators.Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("binnedRangeJoin matches the naive inequality join row set") {
+    import spark.implicits._
+    val points = (1 to 200).map(i => (i.toLong, i * 3.7 % 100)).toDF("pk", "p")
+    val ivs = (1 to 50).map(i => (i.toLong, i * 1.9 % 90, i * 1.9 % 90 + 7.5))
+      .toDF("ik", "lo", "hi")
+    val binned = graft.operators.Joins.binnedRangeJoin(points, "p", ivs, "lo", "hi", 5.0)
+      .select("pk", "ik").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = points.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pk", "ik").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(binned == naive && binned.nonEmpty)
+  }
+
   test("approx_count_distinct is within 3x rsd of exact") {
     import spark.implicits._
     val df = spark.range(20000).select((col("id") % 7919).as("v"))
