@@ -153,6 +153,29 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** End-to-end near-dup dedup pass — the full pipeline a training-data
+    * job runs: discover candidate pairs (MinHash-LSH), form clusters
+    * ([[nearDupClusters]]), keep the highest-quality doc per cluster
+    * (quality tie → smallest id), pass singletons through untouched.
+    * Returns the surviving rows with the original schema. Every stage
+    * is the scale-safe variant: banded LSH join, label propagation,
+    * one window over cluster ids.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 48, bands: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLshPairs(df, idCol, textCol, threshold, numHashes, bands)
+    val clusters = nearDupClusters(pairs)
+    val withC = df.join(clusters, df(idCol) === clusters("id"), "left")
+      .withColumn("__cid", coalesce(col("cluster_id"), col(idCol)))
+      .drop("id", "cluster_id")
+    val pick = Window.partitionBy("__cid")
+      .orderBy(qualityScore(col(textCol), words(col(textCol))).desc, col(idCol).asc)
+    withC.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .drop("__cid", "__rn")
+  }
+
   /** Keep-best dedup policy: within each duplicate cluster (shared
     * bag-of-words fingerprint), keep the highest-quality doc — the
     * realistic pipeline step after cluster discovery. Returns one row

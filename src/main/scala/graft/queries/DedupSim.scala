@@ -112,6 +112,17 @@ object DedupSim {
     Dedup.keepBestByFingerprint(Tables.documents(s, d), "doc_id", "text")
       .orderBy("fp")
 
+  /** End-to-end dedup pass: pairs → clusters → keep-best-per-cluster →
+    * surviving-corpus composition by language. The realistic "run the
+    * whole dedup job" composition, oracle-checked end to end.
+    */
+  private val q89DedupE2E: Q = (s, d) =>
+    Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars").cast("long")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+
   /** Near-dup clusters: MinHash-LSH pairs → connected components →
     * per-cluster membership summary. The oracle reproduces the
     * component labels with a recursive CTE over the same pair set.
@@ -128,6 +139,7 @@ object DedupSim {
   val defs: Map[String, Q] = Map(
     "q70_dedup_exact" -> q70DedupExact,
     "q68_dedup_clusters" -> q68DedupClusters,
+    "q89_dedup_e2e" -> q89DedupE2E,
     "q78_dedup_keep_best" -> q78DedupKeepBest,
     "q79_embedding_quantize" -> q79EmbeddingQuantize,
     "q71_dedup_minhash_lsh" -> q71MinhashLsh,
@@ -159,34 +171,58 @@ object DedupSim {
       |    [e[j] * (1.0 + 0.1 * (((j * 37 % 19) - 9)::DOUBLE / 9.0)) for j in range(1, len(e) + 1)]
       |  FROM base WHERE vec_id % 5 = 0)""".stripMargin
 
+  /** Shared oracle CTE chain: shingles → MinHash sigs → banded LSH
+    * candidate pairs → symmetric edges → recursive-CTE connected
+    * components (`comp(id, cluster_id)`). Used by q68 and q89.
+    */
+  private val lshClusterCtes: String =
+    s"""${shinglesCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |sig AS (SELECT doc_id, s,
+       |    [list_min(list_transform(s, x ->
+       |      ${h.format("x")} + i * ('0x' || substr(md5(x), 16, 12))::BIGINT))
+       |      for i in range(0, 48)] sig
+       |  FROM sh),
+       |hs AS (SELECT doc_id, list_transform(s, x -> ${h.format("x")}) hh FROM sh),
+       |bands AS (SELECT doc_id, b,
+       |    array_to_string(sig[b*4+1 : b*4+4], ',') bkey
+       |  FROM sig, (SELECT unnest(range(0, 12)) b) bs),
+       |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+       |    len(list_intersect(x.hh, y.hh))::DOUBLE /
+       |      (len(x.hh)::DOUBLE + len(y.hh)::DOUBLE - len(list_intersect(x.hh, y.hh))::DOUBLE) jac
+       |  FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b)
+       |  WHERE jac >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id),
+       |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q68_dedup_clusters" ->
-      s"""${shinglesCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |sig AS (SELECT doc_id, s,
-         |    [list_min(list_transform(s, x ->
-         |      ${h.format("x")} + i * ('0x' || substr(md5(x), 16, 12))::BIGINT))
-         |      for i in range(0, 48)] sig
-         |  FROM sh),
-         |hs AS (SELECT doc_id, list_transform(s, x -> ${h.format("x")}) hh FROM sh),
-         |bands AS (SELECT doc_id, b,
-         |    array_to_string(sig[b*4+1 : b*4+4], ',') bkey
-         |  FROM sig, (SELECT unnest(range(0, 12)) b) bs),
-         |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
-         |    len(list_intersect(x.hh, y.hh))::DOUBLE /
-         |      (len(x.hh)::DOUBLE + len(y.hh)::DOUBLE - len(list_intersect(x.hh, y.hh))::DOUBLE) jac
-         |  FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b)
-         |  WHERE jac >= 0.8),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT DISTINCT src AS id, src AS r FROM edges
-         |  UNION
-         |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id),
-         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      s"""$lshClusterCtes
          |SELECT cluster_id, count(*) AS n_docs, max(id) AS max_id
          |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "q89_dedup_e2e" ->
+      s"""$lshClusterCtes,
+         |scored AS (SELECT d.doc_id, d.lang, d.n_chars,
+         |    coalesce(c.cluster_id, d.doc_id) AS cid,
+         |    least(len(str_split(d.text, ' '))::DOUBLE / 100.0, 1.0) * 0.4
+         |      + (len(list_distinct(str_split(d.text, ' ')))::DOUBLE
+         |         / len(str_split(d.text, ' '))::DOUBLE) * 0.3
+         |      + ((length(regexp_replace(d.text, '[^A-Za-z ]', '', 'g'))::DOUBLE + 1.0)
+         |         / (length(d.text)::DOUBLE + 1.0)) * 0.3 AS q
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |kept AS (SELECT doc_id, lang, n_chars FROM (
+         |    SELECT scored.*, row_number() OVER (
+         |      PARTITION BY cid ORDER BY q DESC, doc_id ASC) rn
+         |    FROM scored) WHERE rn = 1)
+         |SELECT lang, count(*) AS n_kept, sum(n_chars)::BIGINT AS sum_chars,
+         |  min(doc_id) AS first_doc
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "q79_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),
