@@ -133,9 +133,14 @@ object Dedup {
     val sym = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    // persist + eager materialize each round, then unpersist the
+    // superseded round immediately — localCheckpoint would leave every
+    // round's blocks in the block manager until the RDDs are GC'd,
+    // pressuring whatever runs next in the session. Lineage grows one
+    // join+agg per round, bounded by maxIter — no checkpoint needed.
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .persist()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -143,9 +148,10 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
         .union(labels.select(col("id"), col("label")))
         .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .persist()
       changed = prop.as("a").join(labels.as("b"), Seq("id"))
         .filter(col("a.label") =!= col("b.label")).count()
+      labels.unpersist()
       labels = prop
       i += 1
     }
