@@ -138,8 +138,12 @@ object Dedup {
     // round's blocks in the block manager until the RDDs are GC'd,
     // pressuring whatever runs next in the session. Lineage grows one
     // join+agg per round, bounded by maxIter — no checkpoint needed.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // round 1 folded into initialization: label₀ = min(id, min
+    // neighbor) — one partial-aggregable pass instead of the first
+    // join round (sym is symmetric, so every node appears as src)
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
       .persist()
     var changed = 1L
     var i = 0
