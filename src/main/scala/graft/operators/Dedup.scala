@@ -106,11 +106,15 @@ object Dedup {
       .persist()
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("hset").as("h_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("hset").as("h_b"))
-    a.join(b, Seq("band", "key"))
+    val pairs = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccardFast(col("h_a"), col("h_b")).as("jac"))
       .distinct()
       .filter(col("jac") >= threshold)
+    // spill the (tiny) pair set and release the banded signature cache —
+    // returning a frame that still reads the cache would leak it into
+    // the block manager for the session lifetime
+    Materialize.spillRelease(pairs, banded)
   }
 
   /** Connected components over near-duplicate pairs: every doc gets the
@@ -160,7 +164,10 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // the final round's labels are still cached — spill + release so the
+    // result carries no block-manager footprint out of the operator
+    Materialize.spillRelease(
+      labels.select(col("id"), col("label").as("cluster_id")), labels)
   }
 
   /** End-to-end near-dup dedup pass — the full pipeline a training-data
@@ -176,9 +183,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val pairs = minhashLshPairs(df, idCol, textCol, threshold, numHashes, bands)
     val clusters = nearDupClusters(pairs)
+    // drop the cluster-side columns BY REFERENCE: a by-name
+    // drop("id", "cluster_id") would also remove the caller's own
+    // "id"/"cluster_id" columns (breaking idCol = "id" outright)
     val withC = df.join(clusters, df(idCol) === clusters("id"), "left")
-      .withColumn("__cid", coalesce(col("cluster_id"), col(idCol)))
-      .drop("id", "cluster_id")
+      .withColumn("__cid", coalesce(clusters("cluster_id"), df(idCol)))
+      .drop(clusters("id")).drop(clusters("cluster_id"))
     val pick = Window.partitionBy("__cid")
       .orderBy(qualityScore(col(textCol), words(col(textCol))).desc, col(idCol).asc)
     withC.withColumn("__rn", row_number().over(pick))
@@ -310,7 +320,10 @@ object Dedup {
       }
     val t = tiles
     sh.flatMap { case (blk, id, h) =>
-        val ti = (id % t).toInt
+        // floorMod: JVM % is negative for negative ids, which would
+        // route those rows to tile groups no positive-tile row joins —
+        // silently dropping every pair that involves a negative id
+        val ti = math.floorMod(id, t.toLong).toInt
         (0 until t).map(o => (blk, math.min(ti, o), math.max(ti, o), ti, id, h))
       }
       .groupByKey(r => (r._1, r._2, r._3))
@@ -385,7 +398,8 @@ object Dedup {
         transform(col(vecCol), x => x.cast(DoubleType)).as("e"))
       .as[(Long, Array[Double])]
     e.flatMap { case (id, v) =>
-        val ti = (id % t).toInt
+        // floorMod for negative-id safety (see ngramJaccardPairs)
+        val ti = math.floorMod(id, t.toLong).toInt
         (0 until t).map(o => (math.min(ti, o), math.max(ti, o), ti, id, v))
       }
       .groupByKey(r => (r._1, r._2))

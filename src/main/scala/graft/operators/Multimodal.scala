@@ -66,6 +66,7 @@ object Multimodal {
     * payload so the resample is oracle-verifiable.
     */
   def resizeNearest(media: Dataset[MediaItem], newW: Int, newH: Int): Dataset[ResizedMedia] = {
+    require(newW > 0 && newH > 0, s"target dimensions must be positive, got ${newW}x$newH")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { items =>
@@ -73,8 +74,10 @@ object Multimodal {
       items.map { m =>
         val len = m.payload.length
         val out = new Array[Byte](newW * newH)
+        // empty payload → all-zero raster (instead of a per-row
+        // ArithmeticException from src % 0 inside the executor kernel)
         var i = 0
-        while (i < out.length) {
+        while (len > 0 && i < out.length) {
           val r = i / newW
           val c = i % newW
           val src = (r * m.meta.height / newH) * m.meta.width + (c * m.meta.width / newW)
@@ -93,6 +96,8 @@ object Multimodal {
     * real; a real pipeline would hand each kept frame to a decoder.
     */
   def frameSample(media: Dataset[MediaItem], frameSize: Int, everyK: Int): Dataset[FrameSample] = {
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    require(everyK > 0, s"everyK must be positive, got $everyK")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { items =>

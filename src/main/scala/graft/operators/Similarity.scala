@@ -146,11 +146,14 @@ object Similarity {
       .persist()
     val a = e.select(col("bucket"), col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("bucket"), col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("bucket"),
         (dotUnrolled(col("e_a"), col("e_b"), dim) /
           sqrt(col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
+    // spill pairs + release the bucketed-embedding cache (leak-free exit,
+    // see Materialize.spillRelease)
+    Materialize.spillRelease(pairs, e)
   }
 }

@@ -43,6 +43,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(f.checksum == java.lang.Long.parseLong(hex.take(15), 16))
   }
 
+  test("multimodal kernels: precondition guards and empty-payload handling") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", "")).toDF("doc_id", "source", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    intercept[IllegalArgumentException] { Multimodal.frameSample(media, 4, 0) }
+    intercept[IllegalArgumentException] { Multimodal.frameSample(media, 0, 3) }
+    intercept[IllegalArgumentException] { Multimodal.resizeNearest(media, 0, 8) }
+    // empty payload: defined all-zero raster instead of a kernel crash
+    val r = Multimodal.resizeNearest(media, 4, 4).collect()(0)
+    assert(r.nBytes == 16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dg = md.digest(new Array[Byte](16))
+    var a = 0L
+    (0 until 7).foreach(k => a = (a << 8) | (dg(k) & 0xffL))
+    assert(r.checksum == ((a << 4) | ((dg(7) & 0xf0L) >> 4)))
+  }
+
   test("cosine top-k: exact neighbors on a constructed corpus") {
     import spark.implicits._
     val vecs = Seq(

@@ -75,4 +75,51 @@ class OperatorsSpec extends SparkSpec {
     val exact = r.getLong(0).toDouble
     assert(math.abs(r.getLong(1) - exact) / exact < 0.15)  // 3x default rsd
   }
+
+  test("dedupCorpus works with idCol = \"id\" and preserves caller columns named cluster_id") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // 1 and 2 are exact near-dups (same text); 3 is distinct
+    val docs = Seq(
+      (1L, base, "keepA"), (2L, base, "keepB"),
+      (3L, (101 to 140).map(i => s"x$i").mkString(" "), "keepC"))
+      .toDF("id", "text", "cluster_id") // decoy column shares the internal join column name
+    val kept = graft.operators.Dedup.dedupCorpus(docs, "id", "text")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("cluster_id"))).toSet
+    // quality ties -> smallest id survives per cluster; schema intact
+    assert(kept == Set((1L, "keepA"), (3L, "keepC")))
+  }
+
+  test("pair kernels handle negative ids (floorMod tiling)") {
+    import spark.implicits._
+    val t = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq((-13L, t, "en"), (-5L, t, "en"), (7L, "another text entirely here now", "en"))
+      .toDF("doc_id", "text", "lang")
+    val jp = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+        n = 3, threshold = 0.8, tiles = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jp == Set((-13L, -5L)))
+    val vecs = Seq((-9L, Seq(1.0f, 0.0f)), (-2L, Seq(1.0f, 0.0f)), (4L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "e")
+    val cp = graft.operators.Dedup.cosineNearDupPairs(vecs, "vec_id", "e",
+        dim = 2, threshold = 0.99, tiles = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp == Set((-9L, -2L)))
+  }
+
+  test("LSH/cluster operators leave no persisted blocks behind") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, "totally different words here okay"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text")
+    assert(pairs.count() == 1)
+    assert(graft.operators.Dedup.nearDupClusters(pairs).count() == 2)
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "e")
+    assert(graft.operators.Similarity.lshNearDupPairs(vecs, "vec_id", "e",
+      dim = 2, nPlanes = 4, threshold = 0.99).count() == 1)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"operators leaked persisted RDDs: $leaked")
+  }
 }

@@ -110,6 +110,9 @@ class PlanQualitySpec extends SparkSpec {
   test("RangeBinJoinRule: naive inequality join auto-binned, row-identical to control") {
     import org.apache.spark.sql.functions._
     val key = "spark.graft.rangeJoin.binWidth"
+    // uncapped: known-bounded intervals -> pure binned plan, no
+    // fallback branch (the hybrid shape has its own test below)
+    spark.conf.set("spark.graft.rangeJoin.maxBins", "0")
     val o = Tables.orders(spark, sf)
     def joined = {
       val points = o.filter(col("o_orderkey") % 11 === 0)
@@ -134,7 +137,54 @@ class PlanQualitySpec extends SparkSpec {
       val naiveRows = naive.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
       assert(fastRows == naiveRows, "binned join must be row-identical to the naive join")
       assert(fastRows.nonEmpty)
-    } finally spark.conf.unset(key)
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.unset("spark.graft.rangeJoin.maxBins")
+    }
+  }
+
+  test("RangeBinJoinRule: outlier-wide intervals route through the fallback branch, rows intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wKey = "spark.graft.rangeJoin.binWidth"
+    val mKey = "spark.graft.rangeJoin.maxBins"
+    val points = (1 to 500).map(i => (i.toLong, i.toDouble)).toDF("pk", "p")
+    // interval 99 spans 10000 bins at width 1.0 — far over maxBins=8;
+    // without the fallback branch Sequence would materialize 10k bins/row
+    val ivs = Seq((1L, 10.0, 12.5), (2L, 400.5, 402.0), (99L, -4000.0, 6000.0))
+      .toDF("ik", "lo", "hi")
+    def joined = points.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    spark.conf.set(wKey, "1.0")
+    spark.conf.set(mKey, "8")
+    try {
+      val hybrid = joined
+      val hp = hybrid.queryExecution.executedPlan.toString
+      assert(hp.contains("Union"), s"expected hybrid binned+fallback plan:\n$hp")
+      val got = hybrid.select("pk", "ik").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      spark.conf.unset(wKey)
+      val want = joined.select("pk", "ik").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want && got.count(_._2 == 99L) == 500)
+    } finally { spark.conf.unset(wKey); spark.conf.unset(mKey) }
+  }
+
+  test("RangeBinJoinRule: malformed binWidth raises a clear error") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wKey = "spark.graft.rangeJoin.binWidth"
+    spark.conf.set(wKey, "fast")
+    try {
+      val points = Seq((1L, 5.0)).toDF("pk", "p")
+      val ivs = Seq((1L, 0.0, 10.0)).toDF("ik", "lo", "hi")
+      val e = intercept[Exception] {
+        points.join(ivs, col("p") >= col("lo") && col("p") <= col("hi")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m => m.contains(wKey) && m.contains("fast")),
+        s"error must name the conf key and value: ${messages(e)}")
+    } finally spark.conf.unset(wKey)
   }
 
   test("whole-stage codegen covers the criteo expression chain") {
