@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // automatic range-join binning, opt-in via
     // spark.graft.rangeJoin.binWidth (see plans.RangeBinJoinRule)
     ext.injectOptimizerRule(graft.plans.RangeBinJoinRule)
+    // native per-group top-k physical operator (see plans.TopKPerGroup)
+    ext.injectPlannerStrategy(graft.plans.TopKPerGroupStrategy)
   }
 }

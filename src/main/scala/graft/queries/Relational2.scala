@@ -139,7 +139,24 @@ object Relational2 {
       .orderBy("b_key")
   }
 
+  /** Native per-group top-k (custom LogicalPlan + Strategy + SparkPlan,
+    * see [[graft.plans.TopKPerGroupPlan]]): top-3 lineitems per return
+    * flag by price, total order via (price desc, orderkey, linenumber).
+    * The window formulation this replaces shuffles and sorts every row;
+    * the native operator shuffles only ≤ k·|groups| survivors per
+    * input partition.
+    */
+  private val q27TopKNative: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    graft.operators.TopK.perGroup(li, Seq("l_returnflag"),
+        Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)),
+        k = 3)
+      .orderBy("l_returnflag", "rank")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q27_topk_native" -> q27TopKNative,
     "q07_agg_approx_distinct" -> q07ApproxDistinct,
     "q39_range_bin_join" -> q39RangeBinJoin,
     "q08_agg_percentile_corr" -> q08PercentileCorr,
@@ -154,6 +171,13 @@ object Relational2 {
   // Spark's long — every integer sum below is therefore wrapped
   // `::BIGINT` on the oracle side.
   val oracles: Map[String, String] = Map(
+    "q27_topk_native" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)::INT AS rank
+        |  FROM lineitem)
+        |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin,
     "q07_agg_approx_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cust,
         |  TRUE AS within_15pct

@@ -143,6 +143,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q27 native top-k: partial+final exec, survivor shuffle, no WindowExec") {
+    val p = plan("q27_topk_native").split("== Initial Plan ==")(0)
+    assert("TopKPerGroup".r.findAllIn(p).length == 2,
+      s"expected partial+final TopKPerGroup:\n$p")
+    assert(!p.contains("Window"), s"must not plan a window:\n$p")
+  }
+
   test("RangeBinJoinRule: outlier-wide intervals route through the fallback branch, rows intact") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
