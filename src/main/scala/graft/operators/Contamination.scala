@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Benchmark decontamination: find training documents that share word
+  * n-grams with an evaluation/benchmark set — the standard pre-training
+  * hygiene pass (run with 13-grams on real corpora; n is a parameter).
+  *
+  * Scale design: both sides explode to distinct (doc, n-gram-hash)
+  * pairs and meet in a hash equi-join on the 8-byte hash — shuffle
+  * volume is the number of n-gram occurrences, never |train|×|eval|,
+  * and the per-pair overlap count comes from a partial-aggregable
+  * count. The eval side is tiny in practice (benchmarks), so Spark
+  * broadcasts it and the train side never shuffles at all.
+  */
+object Contamination {
+
+  /** (train_id, eval_id, n_shared) for every train/eval pair sharing at
+    * least `minShared` distinct word n-grams. Hashing uses the 60-bit
+    * cross-engine md5 formula ([[graft.functions.TextFunctions.mdHash]]);
+    * swap xxhash64 in production.
+    */
+  def ngramOverlap(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int, minShared: Long): DataFrame = {
+    def grams(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+          explode(wordShingles(words(col(textCol)), n)).as("s"))
+        .select(col(out), mdHash(col("s")).as("h"))
+    grams(train, "train_id")
+      .join(broadcast(grams(eval, "eval_id")), Seq("h"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

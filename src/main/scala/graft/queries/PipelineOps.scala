@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.operators.{Contamination, Sampling}
+import graft.sources.Tables
+
+/** Corpus-hygiene pipeline operators: benchmark decontamination and
+  * deterministic stratified sampling.
+  */
+object PipelineOps {
+
+  /** Decontamination scan: docs with doc_id % 7 = 0 play the benchmark
+    * ("eval") set; report train docs sharing ≥ 2 distinct word 3-grams
+    * with any eval doc (real pipelines: 13-grams, same shape).
+    */
+  private val q28Contamination: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Contamination.ngramOverlap(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 3, minShared = 2)
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** Deterministic stratified sampling: downsample the dominant
+    * language (en → 50%) and keep 15% of the rest, membership decided
+    * by a stable hash of doc_id — reproducible across runs, engines,
+    * and corpus growth.
+    */
+  private val q29StratifiedSample: Q = (s, d) =>
+    Sampling.stratified(Tables.documents(s, d), "lang", "doc_id",
+        rates = Map("en" -> 0.5), defaultRate = 0.15)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+
+  val defs: Map[String, Q] = Map(
+    "q28_contamination" -> q28Contamination,
+    "q29_stratified_sample" -> q29StratifiedSample)
+
+  val oracles: Map[String, String] = Map(
+    "q28_contamination" ->
+      """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |    for i in range(1, greatest(len(w) - 2, 1) + 1)]) s
+        |  FROM docs),
+        |hs AS (SELECT doc_id,
+        |    list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) hh
+        |  FROM sh)
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |  len(list_intersect(t.hh, e.hh))::BIGINT AS n_shared
+        |FROM hs t JOIN hs e ON t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+        |WHERE len(list_intersect(t.hh, e.hh)) >= 2
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "q29_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id,
+        |  sum(doc_id)::BIGINT AS id_sum
+        |FROM documents
+        |WHERE ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
+        |  (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.15 END * 1000)::BIGINT
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+}

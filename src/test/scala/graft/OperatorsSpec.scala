@@ -107,6 +107,27 @@ class OperatorsSpec extends SparkSpec {
     assert(cp == Set((-9L, -2L)))
   }
 
+  test("contamination scan finds the planted overlap; stratified sample is deterministic") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val train = Seq((1L, s"$shared zeta"), (2L, "nothing in common at all here"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, s"prefix $shared")).toDF("doc_id", "text")
+    val hits = graft.operators.Contamination.ngramOverlap(train, eval, "doc_id", "text",
+        n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 100L)))
+    val docs = (1 to 500).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def run() = graft.operators.Sampling.stratified(docs, "lang", "doc_id",
+      Map("en" -> 0.5), defaultRate = 0.1).collect().map(_.getLong(0)).toSet
+    val a = run(); val b = run()
+    assert(a == b && a.nonEmpty, "hash sampling must be run-stable")
+    val en = a.count(_ % 3 == 0).toDouble / docs.filter(col("lang") === "en").count()
+    val de = a.count(_ % 3 != 0).toDouble / docs.filter(col("lang") === "de").count()
+    assert(en > 0.35 && en < 0.65 && de < 0.2, s"rates off: en=$en de=$de")
+  }
+
   test("LSH/cluster operators leave no persisted blocks behind") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
