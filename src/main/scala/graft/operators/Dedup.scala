@@ -96,25 +96,31 @@ object Dedup {
       threshold: Double = 0.8, numHashes: Int = 48, bands: Int = 12): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val hashed = minhashSignatures(df, idCol, textCol, numHashes)
-    val banded = hashed
-      .select(col("id"), col("hset"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
-      // materialize once: both self-join sides read this, halving the
-      // signature computation (at cluster scale: a persisted/bucketed
-      // intermediate table)
-      .persist()
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("hset").as("h_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("hset").as("h_b"))
-    val pairs = a.join(b, Seq("band", "key"))
+    // materialize the signature table once: the band explode reads it
+    // twice (self-join sides) and the Jaccard rerank reads it twice
+    // more (at cluster scale: a persisted/bucketed intermediate table)
+    val hashed = minhashSignatures(df, idCol, textCol, numHashes).persist()
+    // bands carry ONLY (id, band, key): dragging the shingle-hash array
+    // through the 12-way explode would amplify cache + shuffle 12×.
+    // Candidate ids come out of the band join; the arrays are fetched
+    // afterwards for just the (few) candidates.
+    val banded = hashed.select(col("id"),
+      posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+    val cand = banded.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccardFast(col("h_a"), col("h_b")).as("jac"))
+      .select("id_a", "id_b")
       .distinct()
+    val hs = hashed.select(col("id"), col("hset"))
+    val pairs = cand
+      .join(hs.select(col("id").as("id_a"), col("hset").as("h_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hset").as("h_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardFast(col("h_a"), col("h_b")).as("jac"))
       .filter(col("jac") >= threshold)
-    // spill the (tiny) pair set and release the banded signature cache —
+    // spill the (tiny) pair set and release the signature cache —
     // returning a frame that still reads the cache would leak it into
     // the block manager for the session lifetime
-    Materialize.spillRelease(pairs, banded)
+    Materialize.spillRelease(pairs, hashed)
   }
 
   /** Connected components over near-duplicate pairs: every doc gets the

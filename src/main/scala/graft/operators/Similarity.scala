@@ -31,6 +31,11 @@ object Similarity {
     * (excluding itself). Ranking key rounds the similarity to 9 dp with
     * an id tie-break, making the cutoff deterministic across engines and
     * partitionings.
+    *
+    * Ranking runs through the native [[graft.operators.TopK]] physical
+    * operator: the |corpus|·|queries| similarity rows are reduced to k
+    * per query per scan partition BEFORE any shuffle — the window
+    * formulation this replaces shuffled and sorted the full product.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
@@ -38,14 +43,13 @@ object Similarity {
       .withColumn("nrm_n", normSqUnrolled(col("e_n"), dim))
     val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("e_q"))
       .withColumn("nrm_q", normSqUnrolled(col("e_q"), dim))
-    val w = Window.partitionBy("qid")
-      .orderBy(round(col("cos"), 9).desc, col("nid").asc)
-    c.join(broadcast(q), col("qid") =!= col("nid"))
+    val sims = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dotUnrolled(col("e_q"), col("e_n"), dim) /
           sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .withColumn("__cos_r", round(col("cos"), 9))
+    TopK.perGroup(sims, Seq("qid"), Seq(("__cos_r", true), ("nid", false)), k)
+      .drop("__cos_r")
   }
 
   /** ±1 hyperplane components, precomputed driver-side with the same
@@ -122,16 +126,16 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("e_q"), col("nrm_q"), col("cid"))
 
-    // search only within probed cells
-    val wTop = Window.partitionBy("qid")
-      .orderBy(round(col("cos"), 9).desc, col("nid").asc)
-    probes.join(assigned, Seq("cid"))
+    // search only within probed cells; final ranking through the native
+    // top-k operator (partial heaps, survivor-only shuffle)
+    val hits = probes.join(assigned, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dotUnrolled(col("e_q"), col("e_n"), dim) /
           sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
+      .withColumn("__cos_r", round(col("cos"), 9))
+    TopK.perGroup(hits, Seq("qid"), Seq(("__cos_r", true), ("nid", false)), k)
+      .drop("__cos_r")
   }
 
   /** LSH-bucketed near-duplicate pairs: cosine ≥ threshold among pairs
