@@ -19,18 +19,19 @@ import graft.functions.TextFunctions._
 object Contamination {
 
   /** (train_id, eval_id, n_shared) for every train/eval pair sharing at
-    * least `minShared` distinct word n-grams. Hashing uses the 60-bit
-    * cross-engine md5 formula ([[graft.functions.TextFunctions.mdHash]]);
-    * swap xxhash64 in production.
+    * least `minShared` distinct word n-grams. The join key is the raw
+    * n-gram string: the broadcast hashmap hashes it once on build/probe
+    * anyway, so pre-hashing (md5/xxhash64) would only buy smaller rows
+    * — worth it when the eval side outgrows broadcast and the join must
+    * shuffle, not here.
     */
   def ngramOverlap(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int, minShared: Long): DataFrame = {
     def grams(df: DataFrame, out: String) =
       df.select(col(idCol).as(out),
-          explode(wordShingles(words(col(textCol)), n)).as("s"))
-        .select(col(out), mdHash(col("s")).as("h"))
+        explode(wordShingles(words(col(textCol)), n)).as("s"))
     grams(train, "train_id")
-      .join(broadcast(grams(eval, "eval_id")), Seq("h"))
+      .join(broadcast(grams(eval, "eval_id")), Seq("s"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

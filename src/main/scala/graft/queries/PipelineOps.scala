@@ -46,14 +46,11 @@ object PipelineOps {
       """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
         |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
         |    for i in range(1, greatest(len(w) - 2, 1) + 1)]) s
-        |  FROM docs),
-        |hs AS (SELECT doc_id,
-        |    list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) hh
-        |  FROM sh)
+        |  FROM docs)
         |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
-        |  len(list_intersect(t.hh, e.hh))::BIGINT AS n_shared
-        |FROM hs t JOIN hs e ON t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
-        |WHERE len(list_intersect(t.hh, e.hh)) >= 2
+        |  len(list_intersect(t.s, e.s))::BIGINT AS n_shared
+        |FROM sh t JOIN sh e ON t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+        |WHERE len(list_intersect(t.s, e.s)) >= 2
         |ORDER BY train_id, eval_id""".stripMargin,
     "q29_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id,

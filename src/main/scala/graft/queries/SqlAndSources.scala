@@ -32,6 +32,24 @@ object SqlAndSources {
     * with explicit schema → join/agg. Values are integers/strings, so
     * the trip is lossless and the oracle can use the original parquet.
     */
+  /** Arrow IPC round-trip through the DSv2 connector
+    * ([[graft.sources.ArrowSource]]): distributed write of the
+    * documents table to .arrow files, parallel pruned read back,
+    * aggregate — proving the interop surface a torch-dataloader
+    * handoff would use.
+    */
+  private val q32ArrowRoundtrip: Q = (s, d) => {
+    val fmt = classOf[graft.sources.ArrowSource].getName
+    val tmp = s"/tmp/graft_arrow_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text")
+      .write.format(fmt).mode("overwrite").save(tmp)
+    s.read.format(fmt).load(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+  }
+
   private val q91CsvRoundtrip: Q = (s, d) => {
     val tmp = s"/tmp/graft_csv_nation_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
     Tables.nation(s, d).coalesce(1)
@@ -233,6 +251,7 @@ object SqlAndSources {
     "q47_sql_q14_shape" -> q47SqlQ14Shape,
     "q48_sql_q16_shape" -> q48SqlQ16Shape,
     "q38_sql_q19_shape" -> q38SqlQ19Shape,
+    "q32_arrow_roundtrip" -> q32ArrowRoundtrip,
     "q91_csv_roundtrip" -> q91CsvRoundtrip,
     "q92_json_roundtrip" -> q92JsonRoundtrip,
     "q96_orc_roundtrip" -> q96OrcRoundtrip,
@@ -273,6 +292,10 @@ object SqlAndSources {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q32_arrow_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS first_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q91_csv_roundtrip" ->
       """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -33,7 +33,7 @@ import org.apache.spark.sql.types._
   */
 object ArrowInterop {
 
-  private def toArrowType(dt: DataType): ArrowType = dt match {
+  private[sources] def toArrowType(dt: DataType): ArrowType = dt match {
     case BooleanType => ArrowType.Bool.INSTANCE
     case IntegerType => new ArrowType.Int(32, true)
     case LongType    => new ArrowType.Int(64, true)
@@ -44,7 +44,7 @@ object ArrowInterop {
       s"ArrowInterop supports the reference column types (bool/int/long/float/double/string); got $other")
   }
 
-  private def fromArrowType(t: ArrowType): DataType = t match {
+  private[sources] def fromArrowType(t: ArrowType): DataType = t match {
     case _: ArrowType.Bool => BooleanType
     case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
     case i: ArrowType.Int if i.getBitWidth == 64 => LongType
