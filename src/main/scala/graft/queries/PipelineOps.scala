@@ -37,9 +37,27 @@ object PipelineOps {
         sum(col("doc_id")).as("id_sum"))
       .orderBy("lang")
 
+  /** Per-source document cap (crawl-pipeline staple: no single domain
+    * may dominate the corpus): keep the 5 highest-quality docs per
+    * source, through the native TopKPerGroup physical operator on a
+    * natural key — bounded heaps per scan partition, survivor-only
+    * shuffle, never a full per-source sort.
+    */
+  private val q37SourceCap: Q = (s, d) => {
+    import graft.functions.TextFunctions.{qualityScore, words}
+    val scored = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        round(qualityScore(col("text"), words(col("text"))), 9).as("q"))
+    graft.operators.TopK.perGroup(scored, Seq("source"),
+        Seq(("q", true), ("doc_id", false)), k = 5)
+      .select(col("source"), col("rank"), col("doc_id"), round(col("q"), 6).as("quality"))
+      .orderBy("source", "rank")
+  }
+
   val defs: Map[String, Q] = Map(
     "q28_contamination" -> q28Contamination,
-    "q29_stratified_sample" -> q29StratifiedSample)
+    "q29_stratified_sample" -> q29StratifiedSample,
+    "q37_source_cap" -> q37SourceCap)
 
   val oracles: Map[String, String] = Map(
     "q28_contamination" ->
@@ -58,5 +76,19 @@ object PipelineOps {
         |FROM documents
         |WHERE ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
         |  (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.15 END * 1000)::BIGINT
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q37_source_cap" ->
+      """WITH t AS (SELECT source, doc_id, text, str_split(text, ' ') w FROM documents),
+        |scored AS (SELECT source, doc_id,
+        |    round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |      + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.3
+        |      + ((length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE + 1.0)
+        |         / (length(text)::DOUBLE + 1.0)) * 0.3, 9) AS q
+        |  FROM t),
+        |r AS (SELECT source, doc_id, q,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY q DESC, doc_id ASC)::INT AS rank
+        |  FROM scored)
+        |SELECT source, rank, doc_id, round(q, 6) AS quality
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)
 }
