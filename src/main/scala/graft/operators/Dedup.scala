@@ -19,6 +19,29 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Distinct word n-gram shingles, JVM form — bit-identical to
+    * `TextFunctions.wordShingles(words(text), n)`: split on single
+    * spaces keeping empty tokens, shingle i = words [i, i+n) joined by
+    * " " (shorter at the tail), at least one shingle even for short
+    * docs, distinct in first-occurrence order.
+    */
+  private[graft] def shingleStrings(text: String, n: Int): Array[String] = {
+    val w = text.split(" ", -1)
+    val len = w.length
+    val m = math.max(len - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + n, len)
+      val sb = new java.lang.StringBuilder(w(i))
+      var j = i + 1
+      while (j < end) { sb.append(' '); sb.append(w(j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** Exact dedup on a content hash: keeps the smallest id per distinct
     * content. Returns (contentHash, keptId, nCopies).
     */
@@ -40,12 +63,17 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sh = df.select(
-      col(idCol).cast("long").as("id"),
-      wordShingles(words(col(textCol)), 3).as("sh"))
-    sh.as[(Long, Seq[String])].mapPartitions { it =>
+    // shingling happens INSIDE the kernel too: the declarative
+    // wordShingles chain (split → transform → slice → concat_ws) runs
+    // interpreted per row — building the distinct 3-gram strings in the
+    // same JVM loop as the hashing measurably beats it. Semantics are
+    // bit-identical to wordShingles(words(text), 3) (same split-on-
+    // space incl. empty tokens, same first-occurrence distinct order).
+    val sh = df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+    sh.as[(Long, String)].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { case (id, shingles) =>
+      it.map { case (id, text) =>
+        val shingles = Dedup.shingleStrings(text, 3)
         val m = shingles.length
         val h1 = new Array[Long](m)
         val h2 = new Array[Long](m)
@@ -303,11 +331,12 @@ object Dedup {
     // (bit-identity with mdHash proven in TextFunctionsSpec).
     val sh = df.select(
         col(blockCol).cast("string").as("blk"), col(idCol).cast("long").as("id"),
-        wordShingles(words(col(textCol)), n).as("sh"))
-      .as[(String, Long, Seq[String])]
+        col(textCol).cast("string").as("t"))
+      .as[(String, Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (blk, id, shingles) =>
+        it.map { case (blk, id, text) =>
+          val shingles = Dedup.shingleStrings(text, n)
           val m = shingles.length
           val h = new Array[Long](m)
           var j = 0

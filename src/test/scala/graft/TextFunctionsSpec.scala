@@ -94,7 +94,10 @@ class TextFunctionsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "pack my box with five dozen liquor jugs for the long trip home"),
-      (3L, "sphinx of black quartz judge my vow said the 不只是 weary traveler"))
+      (3L, "sphinx of black quartz judge my vow said the 不只是 weary traveler"),
+      // edge shapes the JVM shingler must match exactly: empty text,
+      // consecutive/trailing spaces (empty tokens), fewer words than n
+      (4L, ""), (5L, "a  b "), (6L, "one two"), (7L, "repeat repeat repeat repeat"))
       .toDF("doc_id", "text")
     val kernel = Dedup.minhashSignatures(docs, "doc_id", "text", 48)
       .select(col("id"), col("sig")).orderBy("id")
