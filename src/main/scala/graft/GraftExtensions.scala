@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => LogitExpr(
         org.apache.spark.sql.catalyst.expressions.Cast(
           exprs.head, org.apache.spark.sql.types.DoubleType))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotExpr].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => graft.functions.DotExpr(exprs.head, exprs(1))))
     // automatic range-join binning, opt-in via
     // spark.graft.rangeJoin.binWidth (see plans.RangeBinJoinRule)
     ext.injectOptimizerRule(graft.plans.RangeBinJoinRule)

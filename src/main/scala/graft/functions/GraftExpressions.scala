@@ -32,6 +32,66 @@ case class LogitExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Dot product of two double-array columns as a native binary Catalyst
+  * expression with whole-stage codegen: one tight loop over the Arrow/
+  * Unsafe array data. The composed alternatives are either interpreted
+  * (higher-order `aggregate`/`zip_with`) or a 64-node `element_at`
+  * chain with per-access bounds checks (`GraftFunctions.dotUnrolled`).
+  * Accumulates in element order (bit-identical to the sequential fold
+  * the oracle uses). Assumes dense arrays (no null elements) — the
+  * embedding-column contract; a null ARRAY yields NULL.
+  */
+case class DotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two ARRAY<DOUBLE> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Typed Aggregator UDAF: numerically-stable geometric mean via
   * log-space partial sums — map-side combine + mergeable buffers, the
   * distributed-aggregation contract (SURVEY.md §2.2 UDAF row).
@@ -94,6 +154,9 @@ object GraftRegistry {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "explode_shingles",
       (exprs: Seq[Expression]) => ExplodeShingles(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      (exprs: Seq[Expression]) => DotExpr(exprs.head, exprs(1)), "built-in")
     spark.udf.register("graft_geomean",
       org.apache.spark.sql.functions.udaf(GeoMeanAgg))
   }

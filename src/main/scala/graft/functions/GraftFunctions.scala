@@ -72,4 +72,15 @@ object GraftFunctions {
   /** Unrolled squared L2 norm (see [[dotUnrolled]]). */
   def normSqUnrolled(a: Column, dim: Int): Column =
     (1 to dim).map { j => val x = element_at(a, j); x * x }.reduceLeft(_ + _)
+
+  /** Native codegen'd dot product ([[graft.functions.DotExpr]]): one
+    * tight loop over the array data, same element-order accumulation as
+    * [[dotUnrolled]] — the hot-path form for pairwise similarity.
+    * Requires graft functions in the session (GraftExtensions or
+    * GraftRegistry.register — callers in `operators` self-register).
+    */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Native squared L2 norm via [[dotNative]]. */
+  def normSqNative(a: Column): Column = call_function("graft_dot", a, a)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.GraftFunctions.{dotUnrolled, normSqUnrolled}
+import graft.functions.GraftFunctions.{dotNative, normSqNative}
 
 /** Approximate / exact nearest-neighbor search over embedding columns.
   *
@@ -18,14 +18,20 @@ import graft.functions.GraftFunctions.{dotUnrolled, normSqUnrolled}
   *    Candidates are bucket-colliding pairs only — the O(n²) term drops
   *    to Σ bucket².
   *
-  * All dot products are dimension-unrolled (straight-line codegen;
-  * higher-order aggregate would fall back to interpretation) and norms
-  * are computed once per row, never per pair.
+  * All dot products run through the native codegen'd
+  * [[graft.functions.DotExpr]] — one tight loop over the array data
+  * (higher-order aggregate would fall back to interpretation; an
+  * element_at unroll pays per-access bounds checks) — and norms are
+  * computed once per row, never per pair.
   */
 object Similarity {
 
   private def asDouble(vecCol: String) =
     transform(col(vecCol), x => x.cast(DoubleType))
+
+  /** graft_dot must resolve in the session (idempotent, cheap). */
+  private def ensureFunctions(df: DataFrame): Unit =
+    graft.functions.GraftRegistry.register(df.sparkSession)
 
   /** Exact cosine top-k: for each query row, the k nearest corpus rows
     * (excluding itself). Ranking key rounds the similarity to 9 dp with
@@ -39,13 +45,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
+    ensureFunctions(corpus)
     val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("e_n"))
-      .withColumn("nrm_n", normSqUnrolled(col("e_n"), dim))
+      .withColumn("nrm_n", normSqNative(col("e_n")))
     val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("e_q"))
-      .withColumn("nrm_q", normSqUnrolled(col("e_q"), dim))
+      .withColumn("nrm_q", normSqNative(col("e_q")))
     val sims = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dotUnrolled(col("e_q"), col("e_n"), dim) /
+        (dotNative(col("e_q"), col("e_n")) /
           sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
       .withColumn("__cos_r", round(col("cos"), 9))
     TopK.perGroup(sims, Seq("qid"), Seq(("__cos_r", true), ("nid", false)), k)
@@ -91,10 +98,11 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int, dim: Int = 64): DataFrame = {
+    ensureFunctions(corpus)
     val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol).as("cv"))
-      .withColumn("nrm_c", normSqUnrolled(col("cv"), dim))
+      .withColumn("nrm_c", normSqNative(col("cv")))
     def cos(e: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
-      dotUnrolled(e, col("cv"), dim) / sqrt(n * col("nrm_c"))
+      dotNative(e, col("cv")) / sqrt(n * col("nrm_c"))
 
     // cell assignment: nearest centroid per corpus row, as a
     // partially-aggregable argmax — max_by on (rounded cos, -cid)
@@ -104,7 +112,7 @@ object Similarity {
     // formulation this replaces shuffled the full |corpus|×|centroids|
     // product through an Exchange just to take rn=1.)
     val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("e_n"))
-      .withColumn("nrm_n", normSqUnrolled(col("e_n"), dim))
+      .withColumn("nrm_n", normSqNative(col("e_n")))
     val assigned = c.crossJoin(broadcast(cent))
       .withColumn("ccos", cos(col("e_n"), col("nrm_n")))
       .groupBy("nid")
@@ -117,7 +125,7 @@ object Similarity {
 
     // probe list: nprobe nearest cells per query
     val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("e_q"))
-      .withColumn("nrm_q", normSqUnrolled(col("e_q"), dim))
+      .withColumn("nrm_q", normSqNative(col("e_q")))
     val wProbe = Window.partitionBy("qid")
       .orderBy(round(col("ccos"), 9).desc, col("cid").asc)
     val probes = q.crossJoin(broadcast(cent))
@@ -131,7 +139,7 @@ object Similarity {
     val hits = probes.join(assigned, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dotUnrolled(col("e_q"), col("e_n"), dim) /
+        (dotNative(col("e_q"), col("e_n")) /
           sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
       .withColumn("__cos_r", round(col("cos"), 9))
     TopK.perGroup(hits, Seq("qid"), Seq(("__cos_r", true), ("nid", false)), k)
@@ -144,16 +152,17 @@ object Similarity {
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
+    ensureFunctions(df)
     val e = df.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
       .withColumn("bucket", hyperplaneBucket(col("e"), dim, nPlanes))
-      .withColumn("nrm", normSqUnrolled(col("e"), dim))
+      .withColumn("nrm", normSqNative(col("e")))
       .persist()
     val a = e.select(col("bucket"), col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("bucket"), col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("nrm_b"))
     val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("bucket"),
-        (dotUnrolled(col("e_a"), col("e_b"), dim) /
+        (dotNative(col("e_a"), col("e_b")) /
           sqrt(col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
     // spill pairs + release the bucketed-embedding cache (leak-free exit,

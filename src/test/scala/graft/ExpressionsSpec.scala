@@ -43,6 +43,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(f.checksum == java.lang.Long.parseLong(hex.take(15), 16))
   }
 
+  test("DotExpr matches the unrolled formulation bit-for-bit; null array -> null") {
+    import graft.functions.GraftFunctions.{dotNative, dotUnrolled}
+    import spark.implicits._
+    GraftRegistry.register(spark)
+    val vecs = (1 to 200).map { i =>
+      (i.toLong, (1 to 64).map(j => (i * 31 + j) * 0.001 - 1.0),
+        (1 to 64).map(j => (j * 17 - i) * 0.002))
+    }.toDF("id", "a", "b")
+      .select(col("id"),
+        transform(col("a"), x => x.cast("double")).as("a"),
+        transform(col("b"), x => x.cast("double")).as("b"))
+    val r = vecs.select(
+        dotNative(col("a"), col("b")).as("n"),
+        dotUnrolled(col("a"), col("b"), 64).as("u"))
+      .collect()
+    assert(r.forall(x => x.getDouble(0) == x.getDouble(1)), "sum order must be identical")
+    val withNull = Seq((Seq(1.0, 2.0), Option(Seq(3.0, 4.0))), (Seq(1.0, 2.0), None))
+      .toDF("a", "b")
+    val got = withNull.select(dotNative(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 11.0 && got(1).isNullAt(0))
+  }
+
   test("multimodal kernels: precondition guards and empty-payload handling") {
     import spark.implicits._
     val docs = Seq((1L, "s", "")).toDF("doc_id", "source", "text")
