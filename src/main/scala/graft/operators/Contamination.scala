@@ -27,9 +27,17 @@ object Contamination {
     */
   def ngramOverlap(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int, minShared: Long): DataFrame = {
-    def grams(df: DataFrame, out: String) =
-      df.select(col(idCol).as(out),
-        explode(wordShingles(words(col(textCol)), n)).as("s"))
+    // distinct grams built in a JVM kernel (Dedup.shingleStrings, the
+    // shared bit-identical shingler) — the declarative explode-of-
+    // wordShingles chain runs interpreted per row
+    def grams(df: DataFrame, out: String) = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) => Dedup.shingleStrings(text, n).map(s => (id, s)) }
+        .toDF(out, "s")
+    }
     grams(train, "train_id")
       .join(broadcast(grams(eval, "eval_id")), Seq("s"))
       .groupBy("train_id", "eval_id")

@@ -54,10 +54,19 @@ object PipelineOps {
       .orderBy("source", "rank")
   }
 
+  /** df.stat surface: source × lang contingency table (corpus
+    * composition dashboard). One shuffle on the group key; value
+    * columns pivot from the (stable) lang set.
+    */
+  private val q98Crosstab: Q = (s, d) =>
+    Tables.documents(s, d).stat.crosstab("source", "lang")
+      .orderBy("source_lang")
+
   val defs: Map[String, Q] = Map(
     "q28_contamination" -> q28Contamination,
     "q29_stratified_sample" -> q29StratifiedSample,
-    "q37_source_cap" -> q37SourceCap)
+    "q37_source_cap" -> q37SourceCap,
+    "q98_crosstab" -> q98Crosstab)
 
   val oracles: Map[String, String] = Map(
     "q28_contamination" ->
@@ -90,5 +99,13 @@ object PipelineOps {
         |      ORDER BY q DESC, doc_id ASC)::INT AS rank
         |  FROM scored)
         |SELECT source, rank, doc_id, round(q, 6) AS quality
-        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q98_crosstab" ->
+      """SELECT source AS source_lang,
+        |  sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS de,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+        |  sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es,
+        |  sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr,
+        |  sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh
+        |FROM documents GROUP BY source ORDER BY source_lang""".stripMargin)
 }

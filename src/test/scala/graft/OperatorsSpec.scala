@@ -107,6 +107,18 @@ class OperatorsSpec extends SparkSpec {
     assert(cp == Set((-9L, -2L)))
   }
 
+  test("df.stat surface: freqItems finds the heavy hitter, cov/corr sane") {
+    import spark.implicits._
+    val df = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"cold$i"))
+      .zipWithIndex.map { case (s, i) => (s, i.toDouble, i * 2.0 + 1) }
+      .toDF("k", "x", "y")
+    val freq = df.stat.freqItems(Array("k"), 0.5).collect()(0)
+      .getSeq[String](0)
+    assert(freq.contains("hot"))
+    assert(math.abs(df.stat.corr("x", "y") - 1.0) < 1e-9)
+    assert(df.stat.cov("x", "x") > 0)
+  }
+
   test("contamination scan finds the planted overlap; stratified sample is deterministic") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon"
