@@ -17,19 +17,34 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Materialize {
 
   /** Write `result` to a run-scoped parquet path — the session
-    * checkpoint dir when configured (on a cluster: shared storage),
-    * else a JVM temp dir — unpersist `release`, and return the
-    * read-back frame. The write is distributed (executor-parallel,
+    * checkpoint dir when configured (on a cluster: shared storage,
+    * lifecycle owned by the job like any checkpoint), else a JVM temp
+    * dir that is deleted on JVM exit — unpersist `release`, and return
+    * the read-back frame. The write is distributed (executor-parallel,
     * never through the driver), so this is scale-safe for any result
     * that fits the cluster's scratch space.
     */
   def spillRelease(result: DataFrame, release: DataFrame*): DataFrame = {
     val spark = result.sparkSession
-    val base = spark.sparkContext.getCheckpointDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-spill").toString)
+    val base = spark.sparkContext.getCheckpointDir.getOrElse(tempSpillRoot)
     val path = s"$base/graft-spill-${java.util.UUID.randomUUID()}"
     result.write.mode("overwrite").parquet(path)
     release.foreach(_.unpersist())
     spark.read.parquet(path)
+  }
+
+  // one temp root per JVM, removed by a shutdown hook so long-lived
+  // local sessions do not accumulate spill directories
+  private lazy val tempSpillRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spill")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
   }
 }

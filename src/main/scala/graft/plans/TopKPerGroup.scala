@@ -108,7 +108,10 @@ case class TopKPerGroupExec(
         val key = groupProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk, worstFirst)
+          // initial capacity is NOT k: a large k (top-10⁶) would
+          // pre-allocate k slots per group; the queue grows as needed
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(kk, 16).max(1), worstFirst)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < kk) heap.add(row.copy())

@@ -45,6 +45,16 @@ class TopKSpec extends SparkSpec {
     assert(got == Set((1L, 30.0, 1), (1L, 20.0, 2), (1L, 10.0, 3), (2L, 5.0, 1)))
   }
 
+  test("empty group list = global top-k (AllTuples merge)") {
+    val got = TopK.perGroup(sample, Nil, Seq(("v", true), ("id", false)), k = 3)
+      .select("rank", "id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = sample.orderBy(org.apache.spark.sql.functions.col("v").desc,
+        org.apache.spark.sql.functions.col("id").asc)
+      .limit(3).select("id").collect().map(_.getLong(0)).toSeq
+    assert(got.map(_._2) == want && got.map(_._1) == Seq(1, 2, 3))
+  }
+
   test("plan shape: partial + final TopKPerGroupExec, exchange between, no WindowExec") {
     val df = sample
     val q = TopK.perGroup(df, Seq("g"), Seq(("v", true), ("id", false)), k = 5)
