@@ -120,6 +120,14 @@ private[sources] class ArrowScan(path: String, required: StructType) extends Sca
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         new ArrowFileReader(partition.asInstanceOf[ArrowFilePartition].file, req)
+      // Arrow batches ARE Spark columnar batches (ArrowColumnVector is
+      // public API) — hand them over whole; Spark inserts the
+      // codegen'd ColumnarToRow, exactly like the vectorized parquet
+      // reader
+      override def supportColumnarReads(partition: InputPartition): Boolean = true
+      override def createColumnarReader(partition: InputPartition)
+          : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+        new ArrowColumnarFileReader(partition.asInstanceOf[ArrowFilePartition].file, req)
     }
   }
 }
@@ -172,6 +180,38 @@ private[sources] class ArrowFileReader(file: String, required: StructType)
       c += 1
     }
     out
+  }
+
+  override def close(): Unit = { reader.close(); allocator.close() }
+}
+
+/** Columnar twin of [[ArrowFileReader]]: each IPC record batch becomes
+  * one ColumnarBatch of ArrowColumnVector wrappers — zero per-row
+  * conversion in the source; row materialization happens in Spark's
+  * codegen'd ColumnarToRow. The vectors alias the reader's root, valid
+  * until the next `next()` — the batch-reader contract.
+  */
+private[sources] class ArrowColumnarFileReader(file: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
+
+  private val fsPath = new Path(file)
+  private val allocator = new RootAllocator(Long.MaxValue)
+  private val reader = new ArrowStreamReader(
+    FileSystem.get(fsPath.toUri, new Configuration()).open(fsPath), allocator)
+  private val root = reader.getVectorSchemaRoot
+  private val ordinals: Array[Int] = required.fieldNames.map { n =>
+    val i = root.getSchema.getFields.asScala.indexWhere(_.getName == n)
+    require(i >= 0, s"column '$n' not in arrow file $file")
+    i
+  }
+
+  override def next(): Boolean = reader.loadNextBatch()
+
+  override def get(): ColumnarBatch = {
+    val cols: Array[ColumnVector] =
+      ordinals.map(i => new ArrowColumnVector(root.getVector(i)): ColumnVector)
+    new ColumnarBatch(cols, root.getRowCount)
   }
 
   override def close(): Unit = { reader.close(); allocator.close() }

@@ -42,4 +42,18 @@ class ArrowSourceSpec extends SparkSpec {
     assert(plan.contains("ArrowScan(id)"),
       s"expected pruned scan description in:\n$plan")
   }
+
+  test("scan is columnar: batches hand over whole, ColumnarToRow in plan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrowds_c").toString
+    (1 to 10000).map(i => (i.toLong, s"s$i", i * 0.5)).toDF("id", "s", "v")
+      .repartition(2)
+      .write.format(fmt).mode("overwrite").save(dir)
+    val q = spark.read.format(fmt).load(dir)
+      .groupBy(org.apache.spark.sql.functions.lit(1)).sum("id", "v")
+    val r = q.collect()(0)
+    assert(r.getLong(1) == (1L to 10000L).sum && r.getDouble(2) == (1 to 10000).map(_ * 0.5).sum)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected columnar scan handoff:\n$plan")
+  }
 }
