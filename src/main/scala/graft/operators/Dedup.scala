@@ -214,20 +214,26 @@ object Dedup {
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 48, bands: Int = 12): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = minhashLshPairs(df, idCol, textCol, threshold, numHashes, bands)
     val clusters = nearDupClusters(pairs)
     // drop the cluster-side columns BY REFERENCE: a by-name
     // drop("id", "cluster_id") would also remove the caller's own
     // "id"/"cluster_id" columns (breaking idCol = "id" outright)
     val withC = df.join(clusters, df(idCol) === clusters("id"), "left")
-      .withColumn("__cid", coalesce(clusters("cluster_id"), df(idCol)))
+      .withColumn("__cid", clusters("cluster_id"))
       .drop(clusters("id")).drop(clusters("cluster_id"))
-    val pick = Window.partitionBy("__cid")
-      .orderBy(qualityScore(col(textCol), words(col(textCol))).desc, col(idCol).asc)
-    withC.withColumn("__rn", row_number().over(pick))
-      .filter(col("__rn") === 1)
-      .drop("__cid", "__rn")
+    // singleton bypass: docs in no cluster are kept by definition and
+    // never shuffle — only the (tiny) clustered subset goes through the
+    // keep-best pick. The window formulation this replaces shuffled the
+    // WHOLE corpus on the cluster key to pick rn=1 in mostly-singleton
+    // partitions; at 100 TB that is a full-data shuffle for nothing.
+    val singletons = withC.filter(col("__cid").isNull).drop("__cid")
+    val clustered = withC.filter(col("__cid").isNotNull)
+      .withColumn("__q", qualityScore(col(textCol), words(col(textCol))))
+    val kept = TopK.perGroup(clustered, Seq("__cid"),
+        Seq(("__q", true), (idCol, false)), k = 1, rankName = "__rn")
+      .drop("__cid", "__q", "__rn")
+    singletons.unionByName(kept)
   }
 
   /** Keep-best dedup policy: within each duplicate cluster (shared
