@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.operators.{Contamination, Sampling}
+import graft.operators.{Contamination, Dedup, Sampling}
 import graft.sources.Tables
 
 /** Corpus-hygiene pipeline operators: benchmark decontamination and
@@ -62,11 +62,44 @@ object PipelineOps {
     Tables.documents(s, d).stat.crosstab("source", "lang")
       .orderBy("source_lang")
 
+  /** Capstone: the composed training-data pipeline, every stage an
+    * operator from this library — quality gate → exact dedup (keep
+    * min-id per content) → benchmark decontamination (drop train docs
+    * sharing ≥ 2 3-grams with the doc_id % 7 = 0 eval set) → per-lang
+    * stratified sampling → per-lang doc/token accounting. One
+    * oracle-checked query proving the stages compose.
+    */
+  private val q99PipelineE2E: Q = (s, d) => {
+    import graft.functions.TextFunctions.{qualityScore, words}
+    val docs = Tables.documents(s, d)
+    val clean = docs
+      .withColumn("__q", qualityScore(col("text"), words(col("text"))))
+      .filter(col("__q") >= 0.5)
+    val deduped = clean.join(
+      Dedup.exactGroups(clean, "doc_id", "text")
+        .select(col("kept_id").as("doc_id")),
+      Seq("doc_id"))
+    val train = deduped.filter(col("doc_id") % 7 =!= 0)
+    val contaminated = Contamination.ngramOverlap(
+        train, deduped.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 3, minShared = 2)
+      .select(col("train_id").as("doc_id")).distinct()
+    val decontaminated = train.join(contaminated, Seq("doc_id"), "left_anti")
+    Sampling.stratified(decontaminated, "lang", "doc_id",
+        rates = Map("en" -> 0.5), defaultRate = 0.15)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col("text"))).cast("long")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, Q] = Map(
     "q28_contamination" -> q28Contamination,
     "q29_stratified_sample" -> q29StratifiedSample,
     "q37_source_cap" -> q37SourceCap,
-    "q98_crosstab" -> q98Crosstab)
+    "q98_crosstab" -> q98Crosstab,
+    "q99_pipeline_e2e" -> q99PipelineE2E)
 
   val oracles: Map[String, String] = Map(
     "q28_contamination" ->
@@ -107,5 +140,30 @@ object PipelineOps {
         |  sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es,
         |  sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr,
         |  sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh
-        |FROM documents GROUP BY source ORDER BY source_lang""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source_lang""".stripMargin,
+    "q99_pipeline_e2e" ->
+      """WITH scored AS (SELECT doc_id, lang, text, str_split(text, ' ') w,
+        |    least(len(str_split(text, ' '))::DOUBLE / 100.0, 1.0) * 0.4
+        |      + (len(list_distinct(str_split(text, ' ')))::DOUBLE
+        |         / len(str_split(text, ' '))::DOUBLE) * 0.3
+        |      + ((length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE + 1.0)
+        |         / (length(text)::DOUBLE + 1.0)) * 0.3 AS q
+        |  FROM documents),
+        |clean AS (SELECT doc_id, lang, text, w FROM scored WHERE q >= 0.5),
+        |dedup AS (SELECT * FROM clean WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM clean GROUP BY md5(text))),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |    for i in range(1, greatest(len(w) - 2, 1) + 1)]) s FROM dedup),
+        |contaminated AS (SELECT DISTINCT t.doc_id FROM sh t JOIN sh e
+        |  ON t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+        |  WHERE len(list_intersect(t.s, e.s)) >= 2),
+        |train AS (SELECT * FROM dedup WHERE doc_id % 7 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |sampled AS (SELECT * FROM train
+        |  WHERE ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
+        |    (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.15 END * 1000)::BIGINT)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(len(str_split(text, ' ')))::BIGINT AS n_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin)
 }
