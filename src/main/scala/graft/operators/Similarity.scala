@@ -146,6 +146,42 @@ object Similarity {
       .drop("__cos_r")
   }
 
+  /** One distributed Lloyd (k-means) iteration — the centroid-training
+    * step [[ivfTopK]]'s coarse quantizer needs: assign every corpus row
+    * to its nearest centroid (broadcast centroids + partial-aggregable
+    * argmax, exactly the IVF assignment shape), then recompute each
+    * centroid as the member mean. The mean runs per (centroid,
+    * dimension) — explode by position, partial-aggregable sum — so the
+    * only shuffles are |corpus| rows for the argmax and
+    * |centroids|·dim cells for the update, never corpus×centroids.
+    * Coordinate sums use exact decimals (partition-order independent);
+    * the emitted coordinate rounds the double quotient to 6 dp.
+    * Returns one row per (cid, pos): the new centroid, flattened.
+    */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
+    ensureFunctions(corpus)
+    val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol).as("cv"))
+      .withColumn("nrm_c", normSqNative(col("cv")))
+    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("e_n"))
+      .withColumn("nrm_n", normSqNative(col("e_n")))
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        dotNative(col("e_n"), col("cv")) / sqrt(col("nrm_n") * col("nrm_c")))
+      .groupBy("nid")
+      .agg(
+        max_by(col("cid"),
+          struct(round(col("ccos"), 9).as("c"), (-col("cid")).as("t"))).as("cid"),
+        first(col("e_n")).as("e_n"))
+    assigned
+      .select(col("cid"), posexplode(col("e_n")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 12))).as("sx"))
+      .select(col("cid"), col("pos"), col("n_members"),
+        round(col("sx").cast(DoubleType) / col("n_members"), 6).as("coord"))
+  }
+
   /** LSH-bucketed near-duplicate pairs: cosine ≥ threshold among pairs
     * colliding in the hyperplane bucket. The scale path for
     * [[Dedup.cosineNearDupPairs]].

@@ -136,7 +136,19 @@ object DedupSim {
       .orderBy("cluster_id")
   }
 
+  /** One k-means training iteration for the IVF coarse quantizer:
+    * centroids seeded from every 50th vector, corpus assigned by
+    * cosine argmax, new centroids = member means (exact-decimal sums).
+    * Output flattened to (cid, pos, n_members, coord) rows.
+    */
+  private val q100KmeansStep: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    Similarity.kmeansStep(e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding")
+      .orderBy("cid", "pos")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q100_kmeans_step" -> q100KmeansStep,
     "q70_dedup_exact" -> q70DedupExact,
     "q68_dedup_clusters" -> q68DedupClusters,
     "q89_dedup_e2e" -> q89DedupE2E,
@@ -202,6 +214,22 @@ object DedupSim {
        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q100_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |    FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (SELECT vec_id AS nid, v AS e_n, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |        sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)), 9) DESC,
+        |        c.cid ASC) rn
+        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |cells AS (SELECT cid, (i - 1)::INT AS pos, e_n[i] AS x
+        |  FROM assigned, range(1, 65) t(i))
+        |SELECT cid, pos, count(*) AS n_members,
+        |  round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS coord
+        |FROM cells GROUP BY cid, pos ORDER BY cid, pos""".stripMargin,
     "q68_dedup_clusters" ->
       s"""$lshClusterCtes
          |SELECT cluster_id, count(*) AS n_docs, max(id) AS max_id
