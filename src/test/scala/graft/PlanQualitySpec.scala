@@ -143,6 +143,11 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q28 contamination: eval side broadcasts, train side never shuffles for the join") {
+    val p = plan("q28_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+  }
+
   test("q27 native top-k: partial+final exec, survivor shuffle, no WindowExec") {
     val p = plan("q27_topk_native").split("== Initial Plan ==")(0)
     assert("TopKPerGroup".r.findAllIn(p).length == 2,
