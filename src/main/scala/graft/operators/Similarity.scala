@@ -182,6 +182,32 @@ object Similarity {
         round(col("sx").cast(DoubleType) / col("n_members"), 6).as("coord"))
   }
 
+  /** Full k-means training: `iters` Lloyd iterations from the given
+    * seed centroids. Each round's (small) centroid table is
+    * materialized and released ([[Materialize.spillRelease]] pattern),
+    * so the lineage stays flat and no cache outlives the call —
+    * iterate 100 rounds on a 100 TB corpus and the plan for round N
+    * never replays rounds 1..N-1. Returns (cid, cv) with the trained
+    * centroids as arrays.
+    */
+  def kmeans(corpus: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, iters: Int, dim: Int = 64): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var cent = seeds.select(col(idCol).as("cid"), asDouble(vecCol).as("cv"))
+    var i = 0
+    while (i < iters) {
+      val step = kmeansStep(corpus, cent.select(col("cid").as(idCol), col("cv").as(vecCol)),
+        idCol, vecCol, dim)
+      val rebuilt = step
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("coord")))).as("pc"))
+        .select(col("cid"), expr("transform(pc, p -> p.coord)").as("cv"))
+      cent = Materialize.spillRelease(rebuilt)
+      i += 1
+    }
+    cent
+  }
+
   /** LSH-bucketed near-duplicate pairs: cosine ≥ threshold among pairs
     * colliding in the hyperplane bucket. The scale path for
     * [[Dedup.cosineNearDupPairs]].

@@ -82,6 +82,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.checksum == ((a << 4) | ((dg(7) & 0xf0L) >> 4)))
   }
 
+  test("kmeans: two Lloyd iterations recover planted directional clusters, leak-free") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // three directional blobs; seeds = one member of each
+    def blob(base: (Double, Double), ids: Range) =
+      ids.map(i => (i.toLong, Seq(base._1 + (i % 5) * 0.01f, base._2 + (i % 3) * 0.01f)
+        .map(_.toFloat)))
+    val corpus = (blob((1.0, 0.0), 0 to 19) ++ blob((0.0, 1.0), 20 to 39) ++
+      blob((-1.0, -1.0), 40 to 59)).toDF("vec_id", "embedding")
+    val seeds = corpus.filter(col("vec_id").isin(3L, 23L, 43L))
+    val cent = graft.operators.Similarity.kmeans(corpus, seeds, "vec_id", "embedding",
+        iters = 2, dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(cent.size == 3)
+    // each trained centroid points at its blob's direction
+    val dirs = cent.values.map { v =>
+      val n = math.sqrt(v(0) * v(0) + v(1) * v(1))
+      (math.round(v(0) / n * 10) / 10.0, math.round(v(1) / n * 10) / 10.0)
+    }.toSet
+    assert(dirs.exists(d => d._1 > 0.9), s"missing +x blob in $dirs")
+    assert(dirs.exists(d => d._2 > 0.9), s"missing +y blob in $dirs")
+    assert(dirs.exists(d => d._1 < -0.6 && d._2 < -0.6), s"missing diag blob in $dirs")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("cosine top-k: exact neighbors on a constructed corpus") {
     import spark.implicits._
     val vecs = Seq(
