@@ -191,4 +191,30 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Set(("2024-01-01 10:01:00.0", 2L), ("2024-01-01 10:20:00.0", 1L)),
       s"got $sessions")
   }
+
+  test("foreachBatch composes with the native top-k physical operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // per-microbatch "top value per user" — the custom TopKPerGroupExec
+    // planning inside a streaming sink's batch DataFrame
+    val input = MemoryStream[Ev]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.operators.TopK.perGroup(batch, Seq("user_id"),
+            Seq(("value", true), ("event_id", false)), k = 1)
+          .select("user_id", "event_id", "value")
+          .collect().foreach(r => got.synchronized {
+            got += ((r.getLong(0), r.getLong(1), r.getDouble(2))): Unit
+          })
+      }
+      .start()
+    input.addData(
+      Ev(1, ts(1), 1, "c", 5.0), Ev(2, ts(2), 1, "c", 9.0),
+      Ev(3, ts(3), 2, "c", 4.0), Ev(4, ts(4), 2, "c", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // user 1: max value 9 (event 2); user 2: tie on 4.0 -> min event_id 3
+    assert(got.toSet == Set((1L, 2L, 9.0), (2L, 3L, 4.0)), s"got $got")
+  }
 }
