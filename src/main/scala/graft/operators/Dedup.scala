@@ -256,6 +256,57 @@ object Dedup {
         round(col("q"), 6).as("kept_quality"))
   }
 
+  /** Cross-document duplicated-span statistics — the span-granularity
+    * dedup signal (how much of each doc's text also appears verbatim in
+    * OTHER docs), complementing doc-level near-dup discovery: a doc can
+    * be globally unique yet 80% boilerplate. For each doc: the number
+    * of word n-gram occurrences (positions, NOT distinct), how many of
+    * them are grams seen in ≥ 2 distinct docs, and the duplicated
+    * fraction.
+    *
+    * Scale shape: explode to (doc, gram-hash) — linear in corpus
+    * tokens; one partial-aggregable distinct-doc count per hash; one
+    * hash-partitioned join back; one per-doc count. No quadratic term,
+    * no driver materialization. Hashes use the 60-bit cross-engine md5
+    * formula (swap xxhash64 in production).
+    */
+  def crossDocDupStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          // positional grams: the same gram twice in one doc counts twice
+          val w = text.split(" ", -1)
+          val m = math.max(w.length - (n - 1), 1)
+          (0 until m).iterator.map { i =>
+            val end = math.min(i + n, w.length)
+            val sb = new java.lang.StringBuilder(w(i))
+            var j = i + 1
+            while (j < end) { sb.append(' '); sb.append(w(j)); j += 1 }
+            md.reset()
+            val dg = md.digest(sb.toString.getBytes("UTF-8"))
+            var a = 0L
+            var k = 0
+            while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+            (id, (a << 4) | ((dg(7) & 0xf0L) >> 4))
+          }
+        }
+      }.toDF("id", "h")
+    val perHash = grams.groupBy("h")
+      .agg(countDistinct(col("id")).as("nd"))
+    grams.join(perHash, Seq("h"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6).as("dup_frac"))
+  }
+
   /** Per-doc 16-bit SimHash sketch, JVM kernel: one md5 per DISTINCT
     * word (the declarative `TextFunctions.simhash16` recomputes the
     * hash inside a per-bit lambda — 16× the digests, interpreted).

@@ -147,7 +147,16 @@ object DedupSim {
       .orderBy("cid", "pos")
   }
 
+  /** Cross-doc duplicated-span fractions over word 6-grams: the
+    * span-granularity boilerplate signal (within-doc repetition is
+    * q87; this is the cross-doc dimension).
+    */
+  private val q101CrossDocSpans: Q = (s, d) =>
+    Dedup.crossDocDupStats(Tables.documents(s, d), "doc_id", "text", n = 6)
+      .orderBy("id")
+
   val defs: Map[String, Q] = Map(
+    "q101_cross_doc_spans" -> q101CrossDocSpans,
     "q100_kmeans_step" -> q100KmeansStep,
     "q70_dedup_exact" -> q70DedupExact,
     "q68_dedup_clusters" -> q68DedupClusters,
@@ -214,6 +223,18 @@ object DedupSim {
        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q101_cross_doc_spans" ->
+      """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest([('0x' || substr(md5(array_to_string(w[i:i+5], ' ')), 1, 15))::BIGINT
+        |      for i in range(1, greatest(len(w) - 5, 1) + 1)]) AS h
+        |  FROM docs),
+        |ph AS (SELECT h, count(DISTINCT doc_id) nd FROM g GROUP BY h)
+        |SELECT doc_id AS id, count(*) AS n_grams,
+        |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS dup_frac
+        |FROM g JOIN ph USING (h) GROUP BY doc_id ORDER BY id""".stripMargin,
     "q100_kmeans_step" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),
