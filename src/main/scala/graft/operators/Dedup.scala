@@ -296,13 +296,16 @@ object Dedup {
           }
         }
       }.toDF("id", "h")
+    // "seen in >= 2 distinct docs" ⟺ min(id) != max(id) — constant
+    // memory per hash and fully map-side combinable, where a
+    // countDistinct would build per-hash sets and skew on hot grams
     val perHash = grams.groupBy("h")
-      .agg(countDistinct(col("id")).as("nd"))
+      .agg((min(col("id")) =!= max(col("id"))).as("dup"))
     grams.join(perHash, Seq("h"))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
       .select(col("id"), col("n_grams"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6).as("dup_frac"))
   }
