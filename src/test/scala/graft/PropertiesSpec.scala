@@ -52,4 +52,39 @@ class PropertiesSpec extends SparkSpec {
       (col("x") / col("n")).as("div"), (col("x") - col("n")).as("sub")).collect()(0)
     (0 to 3).foreach(i => assert(r.isNullAt(i)))
   }
+
+  test("TopK law: ≤ k rows per group, dense ranks from 1, members from the input") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.choose(1, 4), Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(-50, 50))))
+    samples(gen, 5).foreach { case (k, rows) =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g.toLong, v.toLong, i.toLong) }
+        .toDF("g", "v", "id").repartition(3)
+      val out = graft.operators.TopK.perGroup(df, Seq("g"), Seq(("v", true), ("id", false)), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      val inSet = rows.zipWithIndex.map { case ((g, v), i) => (g.toLong, v.toLong, i.toLong) }.toSet
+      out.groupBy(_._1).foreach { case (g, grp) =>
+        assert(grp.length <= k, s"k=$k group $g overflowed")
+        assert(grp.map(_._4).sorted.toSeq == (1 to grp.length), s"ranks not dense in $g")
+      }
+      assert(out.forall(r => inSet((r._1, r._2, r._3))), "emitted a row not in the input")
+      // rank-1 row IS the group max under (v desc, id asc)
+      val best = inSet.groupBy(_._1).view.mapValues(_.toSeq.sortBy(r => (-r._2, r._3)).head).toMap
+      out.filter(_._4 == 1).foreach { r =>
+        assert(best(r._1) == ((r._1, r._2, r._3)), s"rank-1 mismatch in group ${r._1}")
+      }
+    }
+  }
+
+  test("stratified sampling law: membership is per-row stable under corpus growth") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val grown = (1 to 600).map(i => (i.toLong, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.stratified(df, "lang", "id", Map("en" -> 0.4), 0.2)
+        .collect().map(_.getLong(0)).toSet
+    val small = ids(docs)
+    val big = ids(grown)
+    // every row of the smaller corpus keeps its membership verdict
+    assert(small == big.filter(_ <= 300), "growth must not flip earlier rows")
+  }
 }
