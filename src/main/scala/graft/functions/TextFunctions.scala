@@ -39,6 +39,19 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def words(text: Column): Column = split(text, " ")
 
+  /** PII redaction: emails → `<EMAIL>`, URLs → `<URL>`, long digit
+    * runs → `<NUM>`, applied in that order (an email's digits must not
+    * be half-replaced first). Same patterns as the q86 scan; pure
+    * regexp_replace projections, scan-parallel.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>"),
+      "[0-9]{7,}", "<NUM>")
+
   /** Distinct word n-gram shingles (assumes ≥ n words per doc).
     * Array-local: sequence + slice, no explode.
     */

@@ -135,7 +135,25 @@ object TextAnalysis2 {
       .orderBy("source")
   }
 
+  /** PII redaction pass (the rewrite q86 only counts): emails/URLs/
+    * digit runs replaced by placeholder tokens; output carries the
+    * redacted-content hash and how many spans changed, so the rewrite
+    * is verifiable without shipping the text.
+    */
+  private val q102PiiRedact: Q = (s, d) => {
+    import graft.functions.TextFunctions.redactPii
+    val email = regexp_count(col("text"), lit("[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+    val url = regexp_count(col("text"), lit("https?://[^ ]+"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(redactPii(col("text"))).as("redacted_hash"),
+        (email + url +
+          regexp_count(redactPii(col("text")), lit("<NUM>"))).cast(LongType).as("n_redactions"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q102_pii_redact" -> q102PiiRedact,
     "q69_vocab_build" -> q69VocabBuild,
     "q86_pii_scan" -> q86PiiScan,
     "q85_unigram_logprob" -> q85UnigramLogprob,
@@ -143,6 +161,18 @@ object TextAnalysis2 {
     "q88_tfidf_top_terms" -> q88TfidfTopTerms)
 
   val oracles: Map[String, String] = Map(
+    "q102_pii_redact" ->
+      """WITH r AS (SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g') AS red
+        |  FROM documents)
+        |SELECT doc_id, md5(red) AS redacted_hash,
+        |  (len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(text, 'https?://[^ ]+'))
+        |   + len(regexp_extract_all(red, '<NUM>')))::BIGINT AS n_redactions
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q86_pii_scan" ->
       """WITH t AS (SELECT source,
         |    len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,

@@ -41,5 +41,12 @@ object Tables {
 
   /** Register all tables as temp views (for SQL-surface queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      // events MUST go through its typed reader: the raw reader fails
+      // schema inference on TIMESTAMP(NANOS) unless the session conf is
+      // already set — which previously only happened if an
+      // events-reading query ran first (order-dependent flakiness)
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

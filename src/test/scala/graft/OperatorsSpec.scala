@@ -107,6 +107,12 @@ class OperatorsSpec extends SparkSpec {
     assert(cp == Set((-9L, -2L)))
   }
 
+  test("registerAll is order-independent: events view works without a pre-set nanos conf") {
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    assert(spark.sql("SELECT count(*) FROM events").collect()(0).getLong(0) > 0)
+  }
+
   test("df.stat surface: freqItems finds the heavy hitter, cov/corr sane") {
     import spark.implicits._
     val df = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"cold$i"))
