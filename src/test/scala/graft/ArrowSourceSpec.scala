@@ -43,6 +43,15 @@ class ArrowSourceSpec extends SparkSpec {
       s"expected pruned scan description in:\n$plan")
   }
 
+  test("empty partitions write schema-only files that read back as zero rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrowds_e").toString
+    Seq((1L, "x")).toDF("id", "s").filter(col("id") < 0).repartition(2)
+      .write.format(fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s") && back.count() == 0)
+  }
+
   test("scan is columnar: batches hand over whole, ColumnarToRow in plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_arrowds_c").toString
