@@ -104,10 +104,25 @@ private[sources] class ArrowScanBuilder(path: String, full: StructType)
 
 private[sources] case class ArrowFilePartition(file: String) extends InputPartition
 
-private[sources] class ArrowScan(path: String, required: StructType) extends Scan with Batch {
+private[sources] class ArrowScan(path: String, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"ArrowScan(${required.fieldNames.mkString(",")})"
+
+  /** Size from the files (IPC is uncompressed, so bytes-on-disk ≈
+    * bytes-in-memory): without this a DSv2 source reports the default
+    * "huge" estimate and a small arrow dim table would never broadcast.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val total: Long = {
+      val p = new Path(path)
+      val fs = FileSystem.get(p.toUri, new Configuration())
+      ArrowSource.listArrowFiles(fs, p).map(f => fs.getFileStatus(f).getLen).sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)

@@ -52,6 +52,19 @@ class ArrowSourceSpec extends SparkSpec {
     assert(back.schema.fieldNames.toSeq == Seq("id", "s") && back.count() == 0)
   }
 
+  test("scan reports file-size statistics: small arrow dim table broadcasts") {
+    import spark.implicits._
+    val dim = java.nio.file.Files.createTempDirectory("graft_arrowds_d").toString
+    (1 to 50).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+      .coalesce(1).write.format(fmt).mode("overwrite").save(dim)
+    val facts = spark.range(5000).select(col("id"), (col("id") % 50 + 1).as("k"))
+    val j = facts.join(spark.read.format(fmt).load(dim), "k")
+    assert(j.count() == 5000)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small arrow table must broadcast:\n$plan")
+  }
+
   test("scan is columnar: batches hand over whole, ColumnarToRow in plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_arrowds_c").toString
