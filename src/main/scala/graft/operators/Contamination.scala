@@ -27,6 +27,7 @@ object Contamination {
     */
   def ngramOverlap(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int, minShared: Long): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
     // distinct grams built in a JVM kernel (Dedup.shingleStrings, the
     // shared bit-identical shingler) — the declarative explode-of-
     // wordShingles chain runs interpreted per row

@@ -271,6 +271,7 @@ object Dedup {
     * formula (swap xxhash64 in production).
     */
   def crossDocDupStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
     val spark = df.sparkSession
     import spark.implicits._
     val grams = df
@@ -367,6 +368,8 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int, threshold: Double, tiles: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
     // Jaccard over 60-bit shingle hashes. The pair loop is a
     // branch-light numeric kernel that a declarative join would
     // evaluate interpreted (~6µs/pair) — so: shingle-hash each doc

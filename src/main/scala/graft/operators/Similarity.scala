@@ -26,8 +26,11 @@ import graft.functions.GraftFunctions.{dotNative, normSqNative}
   */
 object Similarity {
 
-  private def asDouble(vecCol: String) =
-    transform(col(vecCol), x => x.cast(DoubleType))
+  // first `dim` components as doubles — the slice keeps the documented
+  // "dots run over dim components" contract (the unrolled forms this
+  // code used to call truncated at dim; DotExpr runs the full array)
+  private def asDouble(vecCol: String, dim: Int) =
+    transform(slice(col(vecCol), 1, dim), x => x.cast(DoubleType))
 
   /** graft_dot must resolve in the session (idempotent, cheap). */
   private def ensureFunctions(df: DataFrame): Unit =
@@ -46,9 +49,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
     ensureFunctions(corpus)
-    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("e_n"))
+    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n"))
       .withColumn("nrm_n", normSqNative(col("e_n")))
-    val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("e_q"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(vecCol, dim).as("e_q"))
       .withColumn("nrm_q", normSqNative(col("e_q")))
     val sims = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -99,7 +102,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int, dim: Int = 64): DataFrame = {
     ensureFunctions(corpus)
-    val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol).as("cv"))
+    val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol, dim).as("cv"))
       .withColumn("nrm_c", normSqNative(col("cv")))
     def cos(e: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       dotNative(e, col("cv")) / sqrt(n * col("nrm_c"))
@@ -111,7 +114,7 @@ object Similarity {
     // one row per corpus id BEFORE the shuffle. (The window
     // formulation this replaces shuffled the full |corpus|×|centroids|
     // product through an Exchange just to take rn=1.)
-    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("e_n"))
+    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n"))
       .withColumn("nrm_n", normSqNative(col("e_n")))
     val assigned = c.crossJoin(broadcast(cent))
       .withColumn("ccos", cos(col("e_n"), col("nrm_n")))
@@ -124,7 +127,7 @@ object Similarity {
       .select(col("nid"), col("e_n"), col("nrm_n"), col("cid"))
 
     // probe list: nprobe nearest cells per query
-    val q = queries.select(col(idCol).as("qid"), asDouble(vecCol).as("e_q"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(vecCol, dim).as("e_q"))
       .withColumn("nrm_q", normSqNative(col("e_q")))
     val wProbe = Window.partitionBy("qid")
       .orderBy(round(col("ccos"), 9).desc, col("cid").asc)
@@ -161,9 +164,9 @@ object Similarity {
   def kmeansStep(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
     ensureFunctions(corpus)
-    val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol).as("cv"))
+    val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol, dim).as("cv"))
       .withColumn("nrm_c", normSqNative(col("cv")))
-    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol).as("e_n"))
+    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n"))
       .withColumn("nrm_n", normSqNative(col("e_n")))
     val assigned = c.crossJoin(broadcast(cent))
       .withColumn("ccos",
@@ -193,7 +196,7 @@ object Similarity {
   def kmeans(corpus: DataFrame, seeds: DataFrame,
       idCol: String, vecCol: String, iters: Int, dim: Int = 64): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    var cent = seeds.select(col(idCol).as("cid"), asDouble(vecCol).as("cv"))
+    var cent = seeds.select(col(idCol).as("cid"), asDouble(vecCol, dim).as("cv"))
     var i = 0
     while (i < iters) {
       val step = kmeansStep(corpus, cent.select(col("cid").as(idCol), col("cv").as(vecCol)),
@@ -215,7 +218,7 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
     ensureFunctions(df)
-    val e = df.select(col(idCol).as("id"), asDouble(vecCol).as("e"))
+    val e = df.select(col(idCol).as("id"), asDouble(vecCol, dim).as("e"))
       .withColumn("bucket", hyperplaneBucket(col("e"), dim, nPlanes))
       .withColumn("nrm", normSqNative(col("e")))
       .persist()

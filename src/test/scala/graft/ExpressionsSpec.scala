@@ -118,4 +118,17 @@ class ExpressionsSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getAs[Long]("nid")).toSeq
     assert(top == Seq(1L, 2L))
   }
+
+  test("dim is honored: components beyond dim are ignored") {
+    import spark.implicits._
+    // 3rd component would flip the ranking if it were read
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, -50f)),
+      (2L, Seq(0.0f, 1.0f, 50f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2, dim = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("nid")).toSeq
+    assert(top == Seq(1L, 2L), "3rd component must not affect dim=2 search")
+  }
 }
