@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Q
 import graft.functions.TextFunctions._
@@ -152,7 +152,43 @@ object TextAnalysis2 {
       .orderBy("doc_id")
   }
 
+  /** BM25 corpus search (k1=1.2, b=0.75): rank documents for a query
+    * term set — here the corpus's own top-3 words, derived identically
+    * by the oracle, so the query is scale-factor agnostic. Per-term
+    * contributions cast to exact decimals before the per-doc sum
+    * (partition-order-independent, the q85 pattern); final top-20
+    * through the native top-k operator.
+    */
+  private val q103Bm25Search: Q = (s, d) => {
+    import graft.functions.TextFunctions.words
+    val docs = Tables.documents(s, d).select(col("doc_id"), words(col("text")).as("w"))
+    val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("dl"))
+    val tokens = docs.select(col("doc_id"), explode(col("w")).as("word"))
+    val terms = tokens.groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc).limit(3).select("word")
+    val corpus = lens.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tokens.join(broadcast(terms), Seq("word"))
+      .select("word", "doc_id").distinct()
+      .groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    val tf = tokens.join(broadcast(terms), Seq("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).cast("double").as("tf"))
+    val contrib = tf.join(broadcast(dfreq), Seq("word"))
+      .join(lens, Seq("doc_id")).crossJoin(broadcast(corpus))
+      .select(col("doc_id"),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast(DecimalType(20, 9)).as("part"))
+    val scored = contrib.groupBy("doc_id").agg(sum(col("part")).as("s"))
+    graft.operators.TopK.perGroup(scored, Nil, Seq(("s", true), ("doc_id", false)), k = 20)
+      .select(col("rank"), col("doc_id"), round(col("s").cast("double"), 6).as("score"))
+      .orderBy("rank")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q103_bm25_search" -> q103Bm25Search,
     "q102_pii_redact" -> q102PiiRedact,
     "q69_vocab_build" -> q69VocabBuild,
     "q86_pii_scan" -> q86PiiScan,
@@ -161,6 +197,27 @@ object TextAnalysis2 {
     "q88_tfidf_top_terms" -> q88TfidfTopTerms)
 
   val oracles: Map[String, String] = Map(
+    "q103_bm25_search" ->
+      """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+        |lens AS (SELECT doc_id, len(w)::BIGINT dl FROM docs),
+        |tokens AS (SELECT doc_id, unnest(w) AS word FROM docs),
+        |terms AS (SELECT word FROM (
+        |  SELECT word, count(*) c FROM tokens GROUP BY word
+        |  ORDER BY c DESC, word ASC LIMIT 3)),
+        |corpus AS (SELECT count(*)::DOUBLE n, sum(dl)::DOUBLE / count(*) avgdl FROM lens),
+        |dfreq AS (SELECT word, count(DISTINCT doc_id)::DOUBLE df
+        |  FROM tokens JOIN terms USING (word) GROUP BY word),
+        |tf AS (SELECT doc_id, word, count(*)::DOUBLE tf
+        |  FROM tokens JOIN terms USING (word) GROUP BY doc_id, word),
+        |contrib AS (SELECT doc_id,
+        |    CAST(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS DECIMAL(20,9)) part
+        |  FROM tf JOIN dfreq USING (word) JOIN lens USING (doc_id), corpus),
+        |scored AS (SELECT doc_id, sum(part) s FROM contrib GROUP BY doc_id),
+        |r AS (SELECT doc_id, s,
+        |    row_number() OVER (ORDER BY s DESC, doc_id ASC)::INT AS rank FROM scored)
+        |SELECT rank, doc_id, round(s::DOUBLE, 6) AS score
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q102_pii_redact" ->
       """WITH r AS (SELECT doc_id, text,
         |    regexp_replace(regexp_replace(regexp_replace(text,
