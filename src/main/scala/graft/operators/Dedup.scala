@@ -361,6 +361,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"))
       .filter(col("n_docs") >= 2)
 
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`
+    * — the chunked pigeonhole join (the production SimHash dedup
+    * shape): the 16-bit sketch splits into `maxHamming + 1` chunks, so
+    * any pair within distance d must agree on at least one whole chunk
+    * (pigeonhole); candidates are chunk-colliding pairs only, then the
+    * exact `bit_count(xor)` filter confirms. Never an all-pairs scan —
+    * the quadratic term drops to Σ chunk-bucket².
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 1): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(maxHamming >= 0 && 16 % nChunks == 0,
+      s"maxHamming + 1 must divide 16, got $maxHamming")
+    val w = 16 / nChunks
+    val sk = simhashSketches(df, idCol, textCol)
+    val chunked = sk.select(col("id"), col("sh16"),
+      explode(array((0 until nChunks).map(ci =>
+        struct(lit(ci).as("ci"),
+          shiftright(col("sh16"), ci * w).bitwiseAND(lit((1 << w) - 1)).as("cv"))): _*)).as("c"))
+      .select(col("id"), col("sh16"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = chunked.select(col("ci"), col("cv"), col("id").as("id_a"), col("sh16").as("h_a"))
+    val b = chunked.select(col("ci"), col("cv"), col("id").as("id_b"), col("sh16").as("h_b"))
+    a.join(b, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Brute-force n-gram Jaccard pairs within a blocking key (e.g. lang).
     * The blocking key bounds the quadratic term to the largest block;
     * for unblocked corpora use [[minhashLshPairs]].

@@ -56,6 +56,18 @@ object DedupSim {
     Dedup.simhashGroups(Tables.documents(s, d), "doc_id", "text")
       .orderBy("sh16")
 
+  /** SimHash pairs within Hamming distance 1 (chunked pigeonhole
+    * join), over one language partition — a 16-bit sketch is
+    * deliberately coarse, so the distance predicate is meaningful
+    * within a topical slice. The oracle brute-forces all pairs for the
+    * same predicate.
+    */
+  private val q104SimhashHamming: Q = (s, d) =>
+    Dedup.simhashNearDupPairs(
+        Tables.documents(s, d).filter(col("lang") === "de"),
+        "doc_id", "text", maxHamming = 1)
+      .orderBy("id_a", "id_b")
+
   private val q73NgramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "lang",
         n = 3, threshold = 0.8)
@@ -156,6 +168,7 @@ object DedupSim {
       .orderBy("id")
 
   val defs: Map[String, Q] = Map(
+    "q104_simhash_hamming" -> q104SimhashHamming,
     "q101_cross_doc_spans" -> q101CrossDocSpans,
     "q100_kmeans_step" -> q100KmeansStep,
     "q70_dedup_exact" -> q70DedupExact,
@@ -223,6 +236,20 @@ object DedupSim {
        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q104_simhash_hamming" ->
+      s"""WITH docs AS (SELECT doc_id, list_distinct(str_split(text, ' ')) dw
+         |  FROM documents WHERE lang = 'de'),
+         |sh AS (SELECT doc_id,
+         |    list_sum(list_transform(range(0, 16), b ->
+         |      CASE WHEN list_sum(list_transform(dw, wd ->
+         |          CASE WHEN ((${h.format("wd")} >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+         |      THEN (1::BIGINT << b) ELSE 0 END))::BIGINT sh16
+         |  FROM docs)
+         |SELECT a.doc_id id_a, b.doc_id id_b,
+         |  bit_count(xor(a.sh16, b.sh16))::INT AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh16, b.sh16)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
     "q101_cross_doc_spans" ->
       """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
         |g AS (SELECT doc_id,
