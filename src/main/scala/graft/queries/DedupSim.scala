@@ -167,7 +167,28 @@ object DedupSim {
     Dedup.crossDocDupStats(Tables.documents(s, d), "doc_id", "text", n = 6)
       .orderBy("id")
 
+  /** ANN quality measurement: recall of the LSH near-dup pairs against
+    * the exact brute-force set — the evaluation loop any approximate
+    * index needs before it replaces the exact path at scale. One row:
+    * exact/LSH/common counts + recall.
+    */
+  private val q105LshRecall: Q = (s, d) => {
+    val exact = Dedup.cosineNearDupPairs(nearDupVectors(s, d), "vec_id", "e",
+        dim = 64, threshold = 0.99)
+      .select("id_a", "id_b")
+    val lsh = Similarity.lshNearDupPairs(nearDupVectors(s, d), "vec_id", "e",
+        dim = 64, nPlanes = 8, threshold = 0.99)
+      .select("id_a", "id_b")
+    val common = exact.intersect(lsh)
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q105_lsh_recall" -> q105LshRecall,
     "q104_simhash_hamming" -> q104SimhashHamming,
     "q101_cross_doc_spans" -> q101CrossDocSpans,
     "q100_kmeans_step" -> q100KmeansStep,
@@ -236,6 +257,32 @@ object DedupSim {
        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q105_lsh_recall" ->
+      s"""$vecCte,
+         |exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) /
+         |    sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.99),
+         |dotted AS (SELECT vec_id, e,
+         |    list_transform(range(0, 8), p ->
+         |      list_sum(list_transform(range(1, 65), j ->
+         |        e[j] * CASE WHEN ${h.format("p::VARCHAR || ',' || j::VARCHAR")} % 2 = 1
+         |               THEN 1.0 ELSE -1.0 END))) dots
+         |  FROM vecs),
+         |bucketed AS (SELECT vec_id, e,
+         |    list_sum(list_transform(range(0, 8), p ->
+         |      CASE WHEN dots[p+1] >= 0 THEN pow(2, p)::BIGINT ELSE 0 END))::BIGINT bucket
+         |  FROM dotted),
+         |lsh AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) /
+         |    sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.99),
+         |common AS (SELECT id_a, id_b FROM exact INTERSECT SELECT id_a, id_b FROM lsh)
+         |SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM lsh) AS n_lsh,
+         |  (SELECT count(*) FROM common) AS n_common,
+         |  round((SELECT count(*) FROM common)::DOUBLE /
+         |    (SELECT count(*) FROM exact)::DOUBLE, 6) AS recall""".stripMargin,
     "q104_simhash_hamming" ->
       s"""WITH docs AS (SELECT doc_id, list_distinct(str_split(text, ' ')) dw
          |  FROM documents WHERE lang = 'de'),
