@@ -28,6 +28,47 @@ object SqlAndSources {
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)
   }
 
+  /** TPC-H Q7 shape: two-nation volume shipping — supp/cust nation
+    * pair revenue by year with the cross-pair OR predicate.
+    */
+  private val q106SqlQ7Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** TPC-H Q10 shape: returned-item revenue per customer, top 20. */
+  private val q107SqlQ10Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)
+  }
+
   /** CSV sink + source round-trip: nation → CSV (header) → typed read
     * with explicit schema → join/agg. Values are integers/strings, so
     * the trip is lossless and the oracle can use the original parquet.
@@ -251,6 +292,8 @@ object SqlAndSources {
     "q47_sql_q14_shape" -> q47SqlQ14Shape,
     "q48_sql_q16_shape" -> q48SqlQ16Shape,
     "q38_sql_q19_shape" -> q38SqlQ19Shape,
+    "q106_sql_q7_shape" -> q106SqlQ7Shape,
+    "q107_sql_q10_shape" -> q107SqlQ10Shape,
     "q32_arrow_roundtrip" -> q32ArrowRoundtrip,
     "q91_csv_roundtrip" -> q91CsvRoundtrip,
     "q92_json_roundtrip" -> q92JsonRoundtrip,
@@ -292,6 +335,35 @@ object SqlAndSources {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q106_sql_q7_shape" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q107_sql_q10_shape" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q32_arrow_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         |  min(doc_id) AS first_doc
