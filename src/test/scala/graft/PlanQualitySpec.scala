@@ -143,6 +143,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q101 span stats: partial aggregation on both levels, no nested loop") {
+    val p = plan("q101_cross_doc_spans")
+    assert(p.contains("partial_min") || p.contains("partial_count") || p.contains("HashAggregate"),
+      s"expected partial-aggregable plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span stats must never go quadratic:\n$p")
+  }
+
+  test("q103 bm25: dimension tables broadcast, no cartesian corpus blowup") {
+    val p = plan("q103_bm25_search")
+    assert(p.contains("BroadcastHashJoin"), s"terms/dfreq must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"only the 1-row stats frame may cross:\n$p")
+  }
+
   test("q28 contamination: eval side broadcasts, train side never shuffles for the join") {
     val p = plan("q28_contamination")
     assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
