@@ -103,18 +103,25 @@ object TextFunctions {
     ni / (size(a).cast(DoubleType) + size(b).cast(DoubleType) - ni)
   }
 
-  /** 16-bit SimHash over the distinct words of a document: bit b is set
+  /** 64-bit SimHash over the distinct words of a document: bit b is set
     * iff the majority of word-hashes have bit b set. Near-identical docs
-    * produce identical (or Hamming-close) values. SQL-expression form
+    * produce identical (or Hamming-close) values. 64 bits (not 16): a
+    * 16-bit sketch caps chunk buckets at 2^(16/(d+1)) distinct values,
+    * so pigeonhole-join bucket sizes grow linearly with corpus size and
+    * the candidate set goes quadratic; with 16-bit chunks of a 64-bit
+    * sketch the bucket keyspace is 65536 per chunk and stays sparse at
+    * web scale. Word hash = first 16 hex chars of md5 read as a SIGNED
+    * long (`conv(_, 16, -10)` is two's-complement), bit-matching the
+    * JVM kernel's big-endian first-8-bytes long. SQL-expression form
     * (shiftright with a column bit index needs SQL lambda syntax).
     */
-  def simhash16(wordsCol: String): Column = expr(
+  def simhash64(wordsCol: String): Column = expr(
     s"""aggregate(
-       |  transform(sequence(0, 15), b ->
+       |  transform(sequence(0, 63), b ->
        |    CASE WHEN aggregate(
        |        transform(array_distinct($wordsCol), wd ->
-       |          CASE WHEN (shiftright(
-       |            cast(conv(substring(md5(wd), 1, 15), 16, 10) as bigint), b) & 1) = 1
+       |          CASE WHEN (shiftrightunsigned(
+       |            cast(conv(substring(md5(wd), 1, 16), 16, -10) as bigint), b) & 1) = 1
        |          THEN 1 ELSE -1 END),
        |        0, (acc, v) -> acc + v) >= 0
        |    THEN shiftleft(1L, b) ELSE 0L END),

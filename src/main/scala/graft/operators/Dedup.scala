@@ -14,7 +14,7 @@ import graft.functions.TextFunctions._
   *  - MinHash-LSH: signatures computed per-row (no shuffle), then one
   *    explode-by-band + self-equi-join on (band, key) — the join only
   *    materializes colliding candidates;
-  *  - SimHash: per-row 64→16-bit sketch, grouped exactly.
+  *  - SimHash: per-row 64-bit sketch, grouped exactly.
   * Brute-force pairwise Jaccard is provided only behind a blocking key.
   */
 object Dedup {
@@ -161,10 +161,11 @@ object Dedup {
     * convergence (rounds ≈ component diameter — near-dup clusters are
     * clique-like, so 1-2 rounds in practice, O(log n) worst case for
     * chains). Each round is one shuffle join + partial-aggregable min;
-    * `localCheckpoint` truncates the growing lineage so round N's plan
-    * does not replay rounds 1..N-1 (on a cluster: `checkpoint` to a
-    * reliable dir). The convergence probe is a count() action — a
-    * scalar, not a driver materialization.
+    * per-round persist + immediate unpersist of the superseded round
+    * keeps lineage flat so round N's plan does not replay rounds
+    * 1..N-1. The convergence probe is an `observe()` metric
+    * collected by the same action that materializes the round — no
+    * separate compare job, no driver materialization.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
@@ -186,13 +187,25 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // convergence probe folded into the propagation job: carry the
+      // node's own (old) label through the agg — labels are unique per
+      // id, so min(label WHERE own) recovers it — and observe() sums
+      // the changed flags as a query metric. One action per round
+      // (materialize-into-cache + metric) instead of propagate +
+      // compare-join count; at cluster scale that halves the per-round
+      // fixed job overhead that dominates iterative CC.
+      val obs = new org.apache.spark.sql.Observation(s"lp_round_$i")
       val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-        .union(labels.select(col("id"), col("label")))
-        .groupBy("id").agg(min(col("label")).as("label"))
+        .select(col("dst").as("id"), col("label"), lit(false).as("own"))
+        .union(labels.select(col("id"), col("label"), lit(true).as("own")))
+        .groupBy("id")
+        .agg(min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("old"))
+        .observe(obs, sum(when(col("label") < col("old"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("label"))
         .persist()
-      changed = prop.as("a").join(labels.as("b"), Seq("id"))
-        .filter(col("a.label") =!= col("b.label")).count()
+      prop.count()
+      changed = obs.get.apply("changed") match { case n: Number => n.longValue }
       labels.unpersist()
       labels = prop
       i += 1
@@ -311,12 +324,16 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6).as("dup_frac"))
   }
 
-  /** Per-doc 16-bit SimHash sketch, JVM kernel: one md5 per DISTINCT
-    * word (the declarative `TextFunctions.simhash16` recomputes the
-    * hash inside a per-bit lambda — 16× the digests, interpreted).
-    * Same md5→60-bit byte-mask parse as [[minhashSignatures]], same
+  /** Per-doc 64-bit SimHash sketch, JVM kernel: one md5 per DISTINCT
+    * word (the declarative `TextFunctions.simhash64` recomputes the
+    * hash inside a per-bit lambda — 64× the digests, interpreted).
+    * Word hash = first 8 digest bytes big-endian as a signed long
+    * (bit-matching `conv(substring(md5, 1, 16), 16, -10)`), same
     * majority-vote-per-bit formula — bit-identity with the declarative
-    * form is proven in TextFunctionsSpec.
+    * form is proven in TextFunctionsSpec. 64 bits, not 16: 16-bit
+    * chunk buckets saturate at 2^(16/(d+1)) values and the pigeonhole
+    * join's Σ bucket² goes quadratic on a web-scale corpus; 16-bit
+    * chunks of a 64-bit sketch keep buckets sparse.
     */
   private[graft] def simhashSketches(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -328,61 +345,67 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, ws) =>
           val seen = new java.util.HashSet[String]()
-          val counts = new Array[Int](16)
+          val counts = new Array[Int](64)
           ws.foreach { wd =>
             if (seen.add(wd)) {
               md.reset()
               val dg = md.digest(wd.getBytes("UTF-8"))
-              var a = 0L
+              var h = 0L
               var k = 0
-              while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
-              val h = (a << 4) | ((dg(7) & 0xf0L) >> 4)
+              while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
               var b = 0
-              while (b < 16) {
-                counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+              while (b < 64) {
+                counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
                 b += 1
               }
             }
           }
           var sh = 0L
           var b = 0
-          while (b < 16) { if (counts(b) >= 0) sh |= 1L << b; b += 1 }
+          while (b < 64) { if (counts(b) >= 0) sh |= 1L << b; b += 1 }
           (id, sh)
         }
-      }.toDF("id", "sh16")
+      }.toDF("id", "sh64")
   }
 
-  /** SimHash groups: docs sharing an identical 16-bit sketch (duplicate
+  /** SimHash groups: docs sharing an identical 64-bit sketch (duplicate
     * clusters). Returns (simhash, n_docs, min_id) for groups of ≥ 2.
     */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashSketches(df, idCol, textCol)
-      .groupBy("sh16")
+      .groupBy("sh64")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"))
       .filter(col("n_docs") >= 2)
 
   /** SimHash near-duplicate pairs within Hamming distance `maxHamming`
     * — the chunked pigeonhole join (the production SimHash dedup
-    * shape): the 16-bit sketch splits into `maxHamming + 1` chunks, so
+    * shape): the 64-bit sketch splits into `maxHamming + 1` chunks, so
     * any pair within distance d must agree on at least one whole chunk
     * (pigeonhole); candidates are chunk-colliding pairs only, then the
     * exact `bit_count(xor)` filter confirms. Never an all-pairs scan —
-    * the quadratic term drops to Σ chunk-bucket².
+    * the quadratic term drops to Σ chunk-bucket², and with ≥ 16-bit
+    * chunks the bucket keyspace (≥ 65536 per chunk index) stays sparse
+    * at corpus scale.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 1): DataFrame = {
     val nChunks = maxHamming + 1
-    require(maxHamming >= 0 && 16 % nChunks == 0,
-      s"maxHamming + 1 must divide 16, got $maxHamming")
-    val w = 16 / nChunks
+    require(maxHamming >= 0 && 64 % nChunks == 0,
+      s"maxHamming + 1 must divide 64, got $maxHamming")
+    val w = 64 / nChunks
     val sk = simhashSketches(df, idCol, textCol)
-    val chunked = sk.select(col("id"), col("sh16"),
+    // shiftrightunsigned: an arithmetic shift would sign-extend the top
+    // chunk; the mask bounds each chunk value to w bits either way, but
+    // the unsigned shift keeps cv == the literal bit slice
+    val chunked = sk.select(col("id"), col("sh64"),
       explode(array((0 until nChunks).map(ci =>
         struct(lit(ci).as("ci"),
-          shiftright(col("sh16"), ci * w).bitwiseAND(lit((1 << w) - 1)).as("cv"))): _*)).as("c"))
-      .select(col("id"), col("sh16"), col("c.ci").as("ci"), col("c.cv").as("cv"))
-    val a = chunked.select(col("ci"), col("cv"), col("id").as("id_a"), col("sh16").as("h_a"))
-    val b = chunked.select(col("ci"), col("cv"), col("id").as("id_b"), col("sh16").as("h_b"))
+          (if (w == 64) col("sh64")
+           else shiftrightunsigned(col("sh64"), ci * w)
+             .bitwiseAND(lit((1L << w) - 1))).as("cv"))): _*)).as("c"))
+      .select(col("id"), col("sh64"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = chunked.select(col("ci"), col("cv"), col("id").as("id_a"), col("sh64").as("h_a"))
+    val b = chunked.select(col("ci"), col("cv"), col("id").as("id_b"), col("sh64").as("h_b"))
     a.join(b, Seq("ci", "cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

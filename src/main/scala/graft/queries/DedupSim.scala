@@ -54,17 +54,16 @@ object DedupSim {
 
   private val q72Simhash: Q = (s, d) =>
     Dedup.simhashGroups(Tables.documents(s, d), "doc_id", "text")
-      .orderBy("sh16")
+      .orderBy("sh64")
 
-  /** SimHash pairs within Hamming distance 1 (chunked pigeonhole
-    * join), over one language partition — a 16-bit sketch is
-    * deliberately coarse, so the distance predicate is meaningful
-    * within a topical slice. The oracle brute-forces all pairs for the
-    * same predicate.
+  /** SimHash pairs within Hamming distance 1 (chunked 32-bit
+    * pigeonhole join) over the FULL corpus — the 64-bit sketch keeps
+    * chunk buckets sparse at corpus scale, so no blocking slice is
+    * needed. The oracle brute-forces all pairs for the same predicate.
     */
   private val q104SimhashHamming: Q = (s, d) =>
     Dedup.simhashNearDupPairs(
-        Tables.documents(s, d).filter(col("lang") === "de"),
+        Tables.documents(s, d),
         "doc_id", "text", maxHamming = 1)
       .orderBy("id_a", "id_b")
 
@@ -207,6 +206,24 @@ object DedupSim {
 
   private val h = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
 
+  /** Shared oracle CTE chain: per-doc 64-bit SimHash sketch as a signed
+    * BIGINT (`sh(doc_id, sh64)`). Word hash = first 16 md5 hex chars as
+    * UBIGINT (bit slicing is sign-agnostic); the HUGEINT bit-sum is
+    * converted to two's-complement BIGINT to match the JVM long.
+    */
+  private val simhash64Ctes =
+    """WITH docs AS (SELECT doc_id, list_distinct(str_split(text, ' ')) dw FROM documents),
+      |wh AS (SELECT doc_id,
+      |    list_transform(dw, wd -> ('0x' || substr(md5(wd), 1, 16))::UBIGINT) hs FROM docs),
+      |shu AS (SELECT doc_id,
+      |    list_sum(list_transform(range(0, 64), b ->
+      |      CASE WHEN list_sum(list_transform(hs, h ->
+      |          CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+      |      THEN power(2, b)::HUGEINT ELSE 0::HUGEINT END)) s
+      |  FROM wh),
+      |sh AS (SELECT doc_id, CASE WHEN s > 9223372036854775807
+      |    THEN (s - 18446744073709551616)::BIGINT ELSE s::BIGINT END sh64 FROM shu)""".stripMargin
+
   /** Shared oracle CTE: word-3-gram distinct shingles per doc. */
   private val shinglesCte =
     """WITH docs AS (SELECT doc_id, lang, str_split(text, ' ') w FROM documents),
@@ -284,18 +301,11 @@ object DedupSim {
          |  round((SELECT count(*) FROM common)::DOUBLE /
          |    (SELECT count(*) FROM exact)::DOUBLE, 6) AS recall""".stripMargin,
     "q104_simhash_hamming" ->
-      s"""WITH docs AS (SELECT doc_id, list_distinct(str_split(text, ' ')) dw
-         |  FROM documents WHERE lang = 'de'),
-         |sh AS (SELECT doc_id,
-         |    list_sum(list_transform(range(0, 16), b ->
-         |      CASE WHEN list_sum(list_transform(dw, wd ->
-         |          CASE WHEN ((${h.format("wd")} >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
-         |      THEN (1::BIGINT << b) ELSE 0 END))::BIGINT sh16
-         |  FROM docs)
+      s"""$simhash64Ctes
          |SELECT a.doc_id id_a, b.doc_id id_b,
-         |  bit_count(xor(a.sh16, b.sh16))::INT AS hamming
+         |  bit_count(xor(a.sh64, b.sh64))::INT AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh16, b.sh16)) <= 1
+         |WHERE bit_count(xor(a.sh64, b.sh64)) <= 1
          |ORDER BY id_a, id_b""".stripMargin,
     "q101_cross_doc_spans" ->
       """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
@@ -396,15 +406,9 @@ object DedupSim {
          |SELECT id_a, id_b, round(jac, 6) AS jac FROM pairs
          |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "q72_dedup_simhash" ->
-      s"""WITH docs AS (SELECT doc_id, list_distinct(str_split(text, ' ')) dw FROM documents),
-         |sh AS (SELECT doc_id,
-         |    list_sum(list_transform(range(0, 16), b ->
-         |      CASE WHEN list_sum(list_transform(dw, wd ->
-         |          CASE WHEN ((${h.format("wd")} >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
-         |      THEN (1::BIGINT << b) ELSE 0 END))::BIGINT sh16
-         |  FROM docs)
-         |SELECT sh16, count(*) AS n_docs, min(doc_id) AS min_id
-         |FROM sh GROUP BY sh16 HAVING count(*) >= 2 ORDER BY sh16""".stripMargin,
+      s"""$simhash64Ctes
+         |SELECT sh64, count(*) AS n_docs, min(doc_id) AS min_id
+         |FROM sh GROUP BY sh64 HAVING count(*) >= 2 ORDER BY sh64""".stripMargin,
     "q73_dedup_ngram_jaccard" ->
       s"""$shinglesCte,
          |hs AS (SELECT doc_id, lang, list_transform(s, x -> ${h.format("x")}) hh FROM sh)

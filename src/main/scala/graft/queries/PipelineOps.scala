@@ -54,12 +54,20 @@ object PipelineOps {
       .orderBy("source", "rank")
   }
 
-  /** df.stat surface: source × lang contingency table (corpus
-    * composition dashboard). One shuffle on the group key; value
-    * columns pivot from the (stable) lang set.
+  /** source × lang contingency table (corpus composition dashboard).
+    * groupBy + explicit-values pivot, NOT `df.stat.crosstab`: crosstab
+    * collects the distinct value set AND builds the whole contingency
+    * table on the driver, so an unbounded-cardinality column OOMs the
+    * driver at corpus scale. The pivot form is one ordinary shuffle on
+    * the group key with the value columns fixed up front — fully
+    * distributed, and skipping the extra distinct-values job.
     */
   private val q98Crosstab: Q = (s, d) =>
-    Tables.documents(s, d).stat.crosstab("source", "lang")
+    Tables.documents(s, d)
+      .groupBy(col("source").as("source_lang"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .count()
+      .na.fill(0L)
       .orderBy("source_lang")
 
   /** Capstone: the composed training-data pipeline, every stage an

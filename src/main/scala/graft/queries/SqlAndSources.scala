@@ -267,7 +267,16 @@ object SqlAndSources {
       .limit(15)
   }
 
-  /** TPC-H Q15 shape: CTE revenue view + max scalar subquery. */
+  /** TPC-H Q15 shape: CTE revenue view + top-revenue supplier(s).
+    *
+    * The textbook form filters on a `(SELECT max(total) FROM revenue)`
+    * scalar subquery, which Spark plans as a SECOND full lineitem
+    * scan+agg branch (no exchange reuse between the join side and the
+    * subquery side). Rewritten as `max(total) OVER ()` on the aggregated
+    * revenue rows: revenue is computed once, and the window runs over
+    * |suppliers| rows (already one row per supplier), not lineitem.
+    * Same result set incl. ties; the oracle keeps the textbook form.
+    */
   private val q95SqlQ15Shape: Q = (s, d) => {
     Tables.registerAll(s, d)
     s.sql(
@@ -275,10 +284,12 @@ object SqlAndSources {
         |  SELECT l_suppkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total
         |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        |  GROUP BY l_suppkey)
+        |  GROUP BY l_suppkey),
+        |ranked AS (
+        |  SELECT l_suppkey, total, max(total) OVER () AS mx FROM revenue)
         |SELECT s_suppkey, s_name, total
-        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
-        |WHERE total = (SELECT max(total) FROM revenue)
+        |FROM supplier JOIN ranked ON s_suppkey = l_suppkey
+        |WHERE total = mx
         |ORDER BY s_suppkey""".stripMargin)
   }
 

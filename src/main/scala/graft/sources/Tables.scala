@@ -39,14 +39,41 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Register all tables as temp views (for SQL-surface queries). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach { n =>
-      // events MUST go through its typed reader: the raw reader fails
-      // schema inference on TIMESTAMP(NANOS) unless the session conf is
-      // already set — which previously only happened if an
-      // events-reading query ran first (order-dependent flakiness)
-      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
-      df.createOrReplaceTempView(n)
+  /** Session-conf key recording which dir's views are registered. Using a
+    * conf (not a driver-side map) keeps the marker scoped to the session
+    * it describes — a new session starts unregistered automatically.
+    */
+  private val RegisteredDirKey = "spark.graft.tables.registeredDir"
+
+  /** Register all tables as temp views (for SQL-surface queries).
+    *
+    * Idempotent per (session, dir): re-registering replaces all 10 temp
+    * views (invalidating any cached plans on them) and re-triggers parquet
+    * schema inference — ~1s warm / ~4s cold — so every SQL-surface query
+    * paying that per call was the dominant suite-wide SQL overhead. A
+    * repeat call for the same dir is now a conf read + one catalog probe.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val fresh = spark.conf.getOption(RegisteredDirKey).contains(dir) &&
+      spark.catalog.tableExists("lineitem")
+    if (!fresh) {
+      names.foreach { n =>
+        // events MUST go through its typed reader: the raw reader fails
+        // schema inference on TIMESTAMP(NANOS) unless the session conf is
+        // already set — which previously only happened if an
+        // events-reading query ran first (order-dependent flakiness)
+        val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+        df.createOrReplaceTempView(n)
+      }
+      spark.conf.set(RegisteredDirKey, dir)
     }
+  }
+
+  /** Drop the registered views and clear the marker — for callers that
+    * deliberately reset session state (e.g. Bench isolation mode).
+    */
+  def unregisterAll(spark: SparkSession): Unit = {
+    names.foreach(n => spark.catalog.dropTempView(n))
+    spark.conf.unset(RegisteredDirKey)
+  }
 }

@@ -63,7 +63,7 @@ class TextFunctionsSpec extends SparkSpec {
       (3L, "completely different words entirely here"))
       .toDF("id", "text")
     val out = df.select(col("id"), words(col("text")).as("w"))
-      .withColumn("sh", simhash16("w")).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .withColumn("sh", simhash64("w")).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
   }
@@ -121,8 +121,8 @@ class TextFunctionsSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val declarative = docs.select(col("doc_id").as("id"),
         words(col("text")).as("w"))
-      .withColumn("sh16", simhash16("w"))
-      .select("id", "sh16")
+      .withColumn("sh64", simhash64("w"))
+      .select("id", "sh64")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(kernel.toSeq == declarative.toSeq)
   }
