@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(graft.plans.RangeBinJoinRule)
     // native per-group top-k physical operator (see plans.TopKPerGroup)
     ext.injectPlannerStrategy(graft.plans.TopKPerGroupStrategy)
+    // SQL surface for it: rewrite `row_number() OVER (...) <= k` filters
+    // into the native operator (see plans.WindowTopKRule)
+    ext.injectOptimizerRule(graft.plans.WindowTopKRule)
   }
 }

@@ -185,27 +185,44 @@ object Similarity {
         round(col("sx").cast(DoubleType) / col("n_members"), 6).as("coord"))
   }
 
-  /** Full k-means training: `iters` Lloyd iterations from the given
-    * seed centroids. Each round's (small) centroid table is
-    * materialized and released ([[Materialize.spillRelease]] pattern),
-    * so the lineage stays flat and no cache outlives the call —
-    * iterate 100 rounds on a 100 TB corpus and the plan for round N
-    * never replays rounds 1..N-1. Returns (cid, cv) with the trained
-    * centroids as arrays.
+  /** Full k-means training: up to `iters` Lloyd iterations from the
+    * given seed centroids, stopping early once the largest centroid
+    * coordinate shift is ≤ `tol` (a fixed point: identical centroids
+    * reproduce identical assignments, so further rounds are no-ops).
+    * The shift is a join of the step output against the exploded old
+    * centroids — both ≤ |centroids|·dim rows — and is collected as an
+    * `observe()` metric by the SAME action that materializes the
+    * round's centroid table: convergence costs zero extra jobs. Each
+    * round's (small) centroid table is materialized and released
+    * ([[Materialize.spillRelease]] pattern), so the lineage stays flat
+    * and no cache outlives the call — iterate 100 rounds on a 100 TB
+    * corpus and the plan for round N never replays rounds 1..N-1.
+    * Returns (cid, cv) with the trained centroids as arrays.
     */
   def kmeans(corpus: DataFrame, seeds: DataFrame,
-      idCol: String, vecCol: String, iters: Int, dim: Int = 64): DataFrame = {
+      idCol: String, vecCol: String, iters: Int, dim: Int = 64,
+      tol: Double = 0.0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     var cent = seeds.select(col(idCol).as("cid"), asDouble(vecCol, dim).as("cv"))
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val step = kmeansStep(corpus, cent.select(col("cid").as(idCol), col("cv").as(vecCol)),
         idCol, vecCol, dim)
+      val oldFlat = cent.select(col("cid"), posexplode(col("cv")).as(Seq("pos", "old")))
+      val obs = new org.apache.spark.sql.Observation(s"kmeans_round_$i")
       val rebuilt = step
+        .join(oldFlat, Seq("cid", "pos"), "left")
+        .observe(obs, max(abs(col("coord") - col("old"))).as("shift"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("coord")))).as("pc"))
         .select(col("cid"), expr("transform(pc, p -> p.coord)").as("cv"))
       cent = Materialize.spillRelease(rebuilt)
+      val shift = obs.get.apply("shift") match {
+        case null => 0.0
+        case n: Number => n.doubleValue
+      }
+      converged = shift <= tol
       i += 1
     }
     cent

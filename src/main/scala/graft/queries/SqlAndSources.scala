@@ -293,7 +293,26 @@ object SqlAndSources {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** SQL-surface top-k per group: the plain `row_number() <= k` idiom,
+    * planned through the native TopKPerGroup operator by
+    * [[graft.plans.WindowTopKRule]] — SQL users get partial heaps +
+    * survivor-only shuffle, not WindowExec's full shuffle + sort
+    * (PlanQualitySpec pins the physical plan).
+    */
+  private val q108SqlTopK: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q108_sql_topk" -> q108SqlTopK,
     "q90_sql_tpch_q3" -> q90SqlTpchQ3,
     "q93_sql_correlated_subquery" -> q93SqlCorrelated,
     "q94_sql_q22_shape" -> q94SqlQ22Shape,
@@ -313,6 +332,14 @@ object SqlAndSources {
     "q49_json_regex" -> q49JsonRegex)
 
   val oracles: Map[String, String] = Map(
+    "q108_sql_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
     "q94_sql_q22_shape" ->
       """SELECT c_mktsegment, count(*) AS numcust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal

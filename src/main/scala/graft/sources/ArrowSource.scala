@@ -38,9 +38,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * converted to rows. All I/O goes through the Hadoop FileSystem API,
   * so `file://`, `hdfs://`, etc. work alike. Types: the reference
   * column set (bool/int/long/float/double/string), null masks
-  * preserved. The writer commits per-task files directly (no temp +
-  * rename) — rerun-safe only with `overwrite`, which truncates the
-  * directory.
+  * preserved. Writes are two-phase: tasks write under `_temporary/`
+  * and the driver's job commit renames to final names — task retries,
+  * speculation, and failures never leave a partial file visible (see
+  * [[ArrowWriteBuilder]]).
   */
 class ArrowSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -232,43 +233,82 @@ private[sources] class ArrowColumnarFileReader(file: String, required: StructTyp
   override def close(): Unit = { reader.close(); allocator.close() }
 }
 
+/** Task-commit message: where the task's temp file is and what final
+  * name it should take on driver-side job commit.
+  */
+private[sources] case class ArrowCommitMessage(temp: String, dest: String)
+  extends WriterCommitMessage
+
 private[sources] class ArrowWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  /** Atomic two-phase commit: each task writes
+    * `_temporary/part-<pid>-<tid>.arrow` (invisible to readers — the
+    * scan lists only top-level `*.arrow`), task commit reports the temp
+    * path, and the DRIVER's job commit renames every reported file to
+    * its final top-level name. A retried/speculated/failed task never
+    * leaves a partial or duplicate file visible: losers either abort
+    * (deleting their temp) or are never reported to job commit (Spark's
+    * commit coordinator admits one attempt per partition), and job
+    * abort removes the whole temp dir. Rename is the primitive HDFS /
+    * local FS make atomic per file; on S3-like stores you'd swap in a
+    * manifest commit, same protocol shape.
+    */
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
         val p = new Path(path)
         val fs = FileSystem.get(p.toUri, new Configuration())
         if (doTruncate && fs.exists(p)) fs.delete(p, true)
-        fs.mkdirs(p)
+        fs.mkdirs(new Path(p, "_temporary"))
         val dir = path
         val s = schema
         new DataWriterFactory {
           override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-            new ArrowFileWriter2(s"$dir/part-$partitionId-$taskId.arrow", s)
+            new ArrowFileWriter2(
+              temp = s"$dir/_temporary/part-$partitionId-$taskId.arrow",
+              dest = s"$dir/part-$partitionId-$taskId.arrow", s)
         }
       }
-      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val p = new Path(path)
+        val fs = FileSystem.get(p.toUri, new Configuration())
+        messages.foreach { case ArrowCommitMessage(temp, dest) =>
+          val t = new Path(temp)
+          val d = new Path(dest)
+          if (fs.exists(d)) fs.delete(d, false)
+          if (!fs.rename(t, d))
+            throw new java.io.IOException(s"ArrowSource commit: rename $t -> $d failed")
+        }
+        fs.delete(new Path(p, "_temporary"), true)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val p = new Path(path)
+        val fs = FileSystem.get(p.toUri, new Configuration())
+        fs.delete(new Path(p, "_temporary"), true)
+      }
     }
   }
 }
 
 /** Writes one task partition as one IPC stream file in bounded-size
-  * record batches (no whole-partition buffering).
+  * record batches (no whole-partition buffering). Writes to `temp`;
+  * the final rename to `dest` happens in the driver's job commit.
   */
-private[sources] class ArrowFileWriter2(file: String, schema: StructType,
+private[sources] class ArrowFileWriter2(temp: String, dest: String, schema: StructType,
     batchSize: Int = 4096) extends DataWriter[InternalRow] {
-  private val fsPath = new Path(file)
+  private val fsPath = new Path(temp)
+  private val fs = FileSystem.get(fsPath.toUri, new Configuration())
   private val allocator = new RootAllocator(Long.MaxValue)
   private val fields: JList[Field] = schema.fields.map { f =>
     new Field(f.name, new FieldType(f.nullable, ArrowInterop.toArrowType(f.dataType), null), null)
   }.toSeq.asJava
   private val root = VectorSchemaRoot.create(new ArrowSchema(fields), allocator)
-  private val out = FileSystem.get(fsPath.toUri, new Configuration()).create(fsPath, true)
+  private val out = fs.create(fsPath, true)
   private val writer = new ArrowStreamWriter(root, null, java.nio.channels.Channels.newChannel(out))
   writer.start()
   root.allocateNew()
@@ -311,10 +351,15 @@ private[sources] class ArrowFileWriter2(file: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     flushBatch()
     writer.end(); writer.close(); out.close()
-    new WriterCommitMessage {}
+    ArrowCommitMessage(temp, dest)
   }
 
-  override def abort(): Unit = close()
+  override def abort(): Unit = {
+    close()
+    // best-effort removal of this attempt's temp file; job abort
+    // removes the whole _temporary dir regardless
+    try fs.delete(fsPath, false) catch { case _: Throwable => () }
+  }
 
   override def close(): Unit = {
     try { writer.close(); out.close() } catch { case _: Throwable => () }

@@ -78,4 +78,29 @@ class ArrowSourceSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("ColumnarToRow"), s"expected columnar scan handoff:\n$plan")
   }
+
+  test("failed write aborts atomically: no partial file visible, dir reusable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrowds_f").toString
+    // one task throws mid-write (ANSI divide-by-zero on id 50, after
+    // earlier rows were already handed to the writer)
+    val bad = (1 to 100).map(_.toLong).toDF("id").repartition(2)
+      .select(col("id"), (col("id") / (col("id") - lit(50L))).as("v"))
+    intercept[Exception] {
+      bad.write.format(fmt).mode("overwrite").save(dir)
+    }
+    val top = new java.io.File(dir).listFiles().toSeq
+    assert(!top.exists(_.getName.endsWith(".arrow")),
+      s"failed job must leave no visible .arrow files, found: $top")
+    assert(!top.exists(_.getName == "_temporary"),
+      "job abort must remove the _temporary dir")
+    // the directory is immediately reusable for a clean write
+    val good = (1 to 10).map(i => (i.toLong, i * 2.0)).toDF("id", "v").repartition(2)
+    good.write.format(fmt).mode("overwrite").save(dir)
+    assert(!new java.io.File(dir, "_temporary").exists,
+      "successful commit must remove the _temporary dir")
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      (1 to 10).map(i => (i.toLong, i * 2.0)).toSet)
+  }
 }

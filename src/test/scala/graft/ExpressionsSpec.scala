@@ -107,6 +107,33 @@ class ExpressionsSpec extends SparkSpec {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("kmeans stops at a fixed point: converged seeds run 1 round, not iters") {
+    import spark.implicits._
+    def blob(base: (Double, Double), ids: Range) =
+      ids.map(i => (i.toLong, Seq(base._1 + (i % 5) * 0.01f, base._2 + (i % 3) * 0.01f)
+        .map(_.toFloat)))
+    val corpus = (blob((1.0, 0.0), 0 to 19) ++ blob((0.0, 1.0), 20 to 39)).toDF("vec_id", "embedding")
+    val seeds = corpus.filter(col("vec_id").isin(3L, 23L))
+    // train to the fixed point first (coords are 6-dp rounded, so the
+    // fixed point is exact), then re-run from the trained centroids
+    val trained = graft.operators.Similarity.kmeans(corpus, seeds, "vec_id", "embedding",
+      iters = 8, dim = 2)
+    val sc = spark.sparkContext
+    sc.setJobGroup("kmeans_conv_probe", "kmeans convergence spec")
+    val again = graft.operators.Similarity.kmeans(corpus,
+      trained.select(col("cid").as("vec_id"), col("cv").as("embedding")),
+      "vec_id", "embedding", iters = 50, dim = 2)
+    val centAgain = again.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val jobs = sc.statusTracker.getJobIdsForGroup("kmeans_conv_probe").length
+    sc.clearJobGroup()
+    // 50 full rounds would be >= 50 jobs; a single converged round is a
+    // handful (step + spill write + result collect)
+    assert(jobs <= 10, s"expected early stop after 1 round, saw $jobs jobs")
+    // and the fixed point is reproduced exactly
+    val centTrained = trained.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(centAgain == centTrained)
+  }
+
   test("cosine top-k: exact neighbors on a constructed corpus") {
     import spark.implicits._
     val vecs = Seq(

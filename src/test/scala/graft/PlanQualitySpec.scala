@@ -169,6 +169,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"must not plan a window:\n$p")
   }
 
+  test("q108 SQL row_number<=k rewrites to native top-k: no WindowExec in plan") {
+    val p = plan("q108_sql_topk").split("== Initial Plan ==")(0)
+    assert("TopKPerGroup".r.findAllIn(p).length == 2,
+      s"SQL top-k idiom must plan as partial+final TopKPerGroup:\n$p")
+    assert(!p.contains("Window"), s"must not plan a window:\n$p")
+  }
+
+  test("WindowTopKRule leaves non-rewritable windows alone, keeps residual filters") {
+    import spark.implicits._
+    Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 5.0))
+      .toDF("id", "g", "v").createOrReplaceTempView("wtk_t")
+    // rank() has tie semantics TopKPerGroup can't reproduce — must stay a Window
+    val rank = spark.sql(
+      """SELECT * FROM (SELECT id, rank() OVER (PARTITION BY g ORDER BY v) r
+        |FROM wtk_t) WHERE r <= 1""".stripMargin)
+    assert(rank.queryExecution.executedPlan.toString.contains("Window"))
+    assert(rank.collect().map(_.getInt(0)).toSet == Set(1, 4))
+    // residual conjunct survives the rewrite
+    val res = spark.sql(
+      """SELECT * FROM (SELECT id, g, row_number() OVER (PARTITION BY g ORDER BY v DESC, id) rn
+        |FROM wtk_t) WHERE rn <= 2 AND g = 'a' AND rn > 1""".stripMargin)
+    val pp = res.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(pp.contains("TopKPerGroup") && !pp.contains("Window"), s"expected rewrite:\n$pp")
+    assert(res.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("RangeBinJoinRule: outlier-wide intervals route through the fallback branch, rows intact") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
