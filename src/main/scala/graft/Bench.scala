@@ -21,6 +21,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE coalesce partitions under cached plans: iterative
+      // operators (label propagation, k-means) persist tiny per-round
+      // frames whose fixed 32-partition stages otherwise dominate
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/page-cache warmup on the smallest inputs: one silent

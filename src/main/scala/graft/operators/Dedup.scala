@@ -69,7 +69,11 @@ object Dedup {
     // same JVM loop as the hashing measurably beats it. Semantics are
     // bit-identical to wordShingles(words(text), 3) (same split-on-
     // space incl. empty tokens, same first-occurrence distinct order).
-    val sh = df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+    // fan the slim (id, text) projection out to full parallelism: the
+    // signature kernel is the most expensive per-row compute in the
+    // library and must not inherit a coarse input file layout
+    val sh = Kernels.fanOut(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t")))
     sh.as[(Long, String)].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, text) =>
@@ -287,8 +291,8 @@ object Dedup {
     require(n >= 1, s"n must be >= 1, got $n")
     val spark = df.sparkSession
     import spark.implicits._
-    val grams = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+    val grams = Kernels.fanOut(df
+        .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -339,7 +343,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), words(col(textCol)).as("w"))
+    Kernels.fanOut(
+        df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t")))
+      .select(col("id"), words(col("t")).as("w"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -445,9 +451,9 @@ object Dedup {
     // slower), and the shuffle then carries 8-byte longs, not shingle
     // strings. Same md5→60-bit byte-mask parse as minhashSignatures
     // (bit-identity with mdHash proven in TextFunctionsSpec).
-    val sh = df.select(
+    val sh = Kernels.fanOut(df.select(
         col(blockCol).cast("string").as("blk"), col(idCol).cast("long").as("id"),
-        col(textCol).cast("string").as("t"))
+        col(textCol).cast("string").as("t")))
       .as[(String, Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -49,7 +49,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
     ensureFunctions(corpus)
-    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n"))
+    val c = Kernels.fanOut(
+      corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n")))
       .withColumn("nrm_n", normSqNative(col("e_n")))
     val q = queries.select(col(idCol).as("qid"), asDouble(vecCol, dim).as("e_q"))
       .withColumn("nrm_q", normSqNative(col("e_q")))
@@ -114,7 +115,8 @@ object Similarity {
     // one row per corpus id BEFORE the shuffle. (The window
     // formulation this replaces shuffled the full |corpus|×|centroids|
     // product through an Exchange just to take rn=1.)
-    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n"))
+    val c = Kernels.fanOut(
+      corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n")))
       .withColumn("nrm_n", normSqNative(col("e_n")))
     val assigned = c.crossJoin(broadcast(cent))
       .withColumn("ccos", cos(col("e_n"), col("nrm_n")))
@@ -166,7 +168,8 @@ object Similarity {
     ensureFunctions(corpus)
     val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol, dim).as("cv"))
       .withColumn("nrm_c", normSqNative(col("cv")))
-    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n"))
+    val c = Kernels.fanOut(
+      corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n")))
       .withColumn("nrm_n", normSqNative(col("e_n")))
     val assigned = c.crossJoin(broadcast(cent))
       .withColumn("ccos",
