@@ -76,16 +76,20 @@ object Similarity {
     }
   }
 
-  /** Random-hyperplane LSH bucket id (0 .. 2^nPlanes-1): literal plane
-    * coefficients + unrolled dots — pure straight-line codegen, no
-    * hashing at execution time.
+  /** Random-hyperplane LSH bucket id (0 .. 2^nPlanes-1): one codegen'd
+    * [[graft.functions.DotExpr]] loop per plane against a literal
+    * coefficient array — nPlanes expression nodes total, independent of
+    * dim. (The unrolled element_at formulation this replaces built a
+    * dim×nPlanes node tree — 512 nodes at 64×8 — and risked the
+    * JIT/codegen method-size cliff at higher dims.) Accumulation order
+    * matches the unrolled form (sequential over j), so bucket ids are
+    * bit-identical.
     */
   def hyperplaneBucket(vec: org.apache.spark.sql.Column, dim: Int, nPlanes: Int)
       : org.apache.spark.sql.Column = {
     val planes = planeComponents(dim, nPlanes)
     (0 until nPlanes).map { p =>
-      val dot = (1 to dim).map(j => element_at(vec, j) * lit(planes(p)(j - 1)))
-        .reduceLeft(_ + _)
+      val dot = dotNative(vec, typedLit(planes(p).toSeq))
       when(dot >= 0, lit(1L << p)).otherwise(0L)
     }.reduceLeft(_ + _)
   }
