@@ -49,6 +49,56 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
+  /** Paragraph-level exact dedup (the CCNet / web-curation pass that
+    * runs BELOW document granularity): across the whole corpus, every
+    * distinct paragraph is kept exactly once — at its first occurrence
+    * in (id, position) order — and every later copy is dropped; docs
+    * are then reassembled from their surviving paragraphs. Boilerplate
+    * (headers, footers, license blocks) repeated across pages
+    * disappears from all but one doc.
+    *
+    * `linesCol` is the doc pre-split into an ARRAY of paragraph
+    * strings (the split policy — "\n\n", sentence, fixed word windows —
+    * is the caller's, since it is corpus-specific).
+    *
+    * Returns one row per input doc: (id, n_lines, n_kept, text_kept)
+    * with surviving paragraphs re-joined by '\n' in original order; a
+    * doc whose every paragraph appeared earlier elsewhere survives
+    * with n_kept = 0 and empty text.
+    *
+    * Scale shape: explode to (id, pos, paragraph) — linear in corpus
+    * paragraphs, no quadratic term; one partial-aggregable
+    * min(struct(id, pos)) per distinct paragraph; one hash-partitioned
+    * join back on the paragraph (both sides hash on it, and the
+    * aggregated side carries one row per distinct paragraph); one
+    * per-doc regroup. Grouping keys the paragraph text itself —
+    * exactness with no hash-collision caveat; the shuffle carries each
+    * paragraph once more than a hashed variant would, a constant
+    * factor traded for correctness.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, linesCol: String): DataFrame = {
+    val ex = df.select(col(idCol).cast("long").as("id"),
+      posexplode(col(linesCol)).as(Seq("pos", "line")))
+    val firsts = ex.groupBy("line")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val kept = ex.join(firsts, Seq("line"))
+      .filter(col("id") === col("first.id") && col("pos") === col("first.pos"))
+      .select(col("id"), col("pos"), col("line"))
+    // reassembly without a window: collect the (pos, line) structs per
+    // doc, sort in-array (pos is unique per doc), join by '\n'
+    val perDoc = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text_kept"))
+    df.select(col(idCol).cast("long").as("id"),
+        size(col(linesCol)).cast("long").as("n_lines"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Per-doc (id, shingle-hash set, MinHash signature). Shingling is
     * declarative (scan-parallel, pruned); the signature inner loop
     * (|shingles| md5 + numHashes·|shingles| min-computations per doc)

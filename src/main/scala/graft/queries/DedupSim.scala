@@ -186,7 +186,25 @@ object DedupSim {
         round(col("n_common").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
   }
 
+  /** Paragraph-level (CCNet-style) exact dedup: docs are chunked into
+    * 8-word "paragraphs" (the corpus has no newline structure, so the
+    * split policy is fixed word windows — deterministic and
+    * oracle-reproducible), every cross-corpus repeated paragraph
+    * survives only at its first (doc, position) occurrence, and docs
+    * are reassembled from what remains.
+    */
+  private val q109ParagraphDedup: Q = (s, d) => {
+    val ws = split(col("text"), " ")
+    val lined = Tables.documents(s, d).select(col("doc_id"),
+      transform(sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+        i => array_join(slice(ws, i * lit(8) + 1, lit(8)), " ")).as("lines"))
+    Dedup.paragraphDedup(lined, "doc_id", "lines")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"), col("text_kept"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q109_paragraph_dedup" -> q109ParagraphDedup,
     "q105_lsh_recall" -> q105LshRecall,
     "q104_simhash_hamming" -> q104SimhashHamming,
     "q101_cross_doc_spans" -> q101CrossDocSpans,
@@ -378,6 +396,28 @@ object DedupSim {
          |  FROM f)
          |SELECT fp, doc_id AS kept_id, n_docs, round(q, 6) AS kept_quality
          |FROM r WHERE n_docs >= 2 AND rn = 1 ORDER BY fp""".stripMargin,
+    "q109_paragraph_dedup" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT)),
+        |      i -> array_to_string(string_split(text, ' ')[i*8+1 : i*8+8], ' ')) AS ls
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, u.pos AS pos, u.line AS line
+        |  FROM lined, unnest(list_transform(ls, (x, i) -> {'pos': i - 1, 'line': x})) AS t(u)),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, pos, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |    FROM ex) WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id, len(l.ls)::BIGINT AS n_lines,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  coalesce(a.text_kept, '') AS text_kept
+        |FROM lined l LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q70_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -90,6 +90,22 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set((1L, "keepA"), (3L, "keepC")))
   }
 
+  test("paragraphDedup keeps first occurrence, reassembles in order, empties fully-duped docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("alpha beta", "shared one", "gamma")),
+      (2L, Seq("shared one", "delta", "shared one")), // dup of doc 1's line + internal dup
+      (3L, Seq("shared one", "alpha beta"))) // every line seen earlier -> emptied
+      .toDF("id", "lines")
+    val out = graft.operators.Dedup.paragraphDedup(docs, "id", "lines")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("text_kept"))).toSet
+    assert(out == Set(
+      (1L, 3L, 3L, "alpha beta\nshared one\ngamma"),
+      (2L, 3L, 1L, "delta"),
+      (3L, 2L, 0L, "")))
+  }
+
   test("pair kernels handle negative ids (floorMod tiling)") {
     import spark.implicits._
     val t = (1 to 30).map(i => s"t$i").mkString(" ")
