@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Link-graph centrality for corpus curation.
+  *
+  * Web-scale training-data pipelines rank pages/domains by link (or
+  * clickstream-transition) centrality and use the score as a quality
+  * prior — the classic curation signal alongside text-quality
+  * heuristics. The operator here is plain iterative PageRank over an
+  * edge-list DataFrame; graph construction (hyperlinks, session
+  * transitions, citation edges) is the caller's.
+  */
+object Graph {
+
+  /** Iterative PageRank with uniform teleport and dangling-mass
+    * redistribution:
+    *
+    *   rank'(v) = (1-d)/N + d·( Σ_{u→v} rank(u)/deg(u) + M/N )
+    *
+    * where M is the total rank held by dangling nodes (no out-edges).
+    *
+    * Scale shape, per round: one equi-join of the edge list against
+    * the rank table on the source id, one partial-aggregable decimal
+    * sum per destination, one left join back onto the node table —
+    * all hash-partitioned on node id, nothing quadratic, nothing on
+    * the driver (the two per-round scalars, N and M, ride an
+    * `observe()` metric on the action that materializes the round, so
+    * convergence bookkeeping costs zero extra jobs — same pattern as
+    * [[Dedup.nearDupClusters]]). Each superseded round is unpersisted
+    * immediately; lineage stays flat. On a production cluster the
+    * edge list would be bucketed by src to amortize its per-round
+    * exchange; here it is persisted once and re-shuffled per round.
+    *
+    * Numerics are engine-reproducible by construction: ranks live as
+    * DECIMAL(30,12) (the cast IS the per-round rounding), per-edge
+    * contributions are computed in double and summed exactly in
+    * decimal, so partition order cannot perturb the result and an
+    * oracle following the same formula matches bit-for-bit.
+    *
+    * Edge multiplicity is respected (parallel edges contribute
+    * twice); dedup first if the graph is simple. Returns (id, rank)
+    * with rank as DOUBLE.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val dec = DecimalType(30, 12)
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val obsBase = new Observation("pr_base")
+    val base = nodes.join(outDeg, Seq("id"), "left")
+      .observe(obsBase, count(lit(1)).as("n"),
+        sum(when(col("deg").isNull, 1L).otherwise(0L)).as("n_dangling"))
+      .persist()
+    base.count()
+    val n = (obsBase.get("n"): @unchecked) match { case x: Number => x.doubleValue }
+    val nDangling = (obsBase.get("n_dangling"): @unchecked) match {
+      case x: Number => x.longValue
+      case null => 0L
+    }
+
+    // init: uniform 1/N, cast (= rounded) to the decimal rank domain
+    var ranks = base
+      .select(col("id"), col("deg"), lit(1.0 / n).cast(dec).as("rank"))
+      .persist()
+    // dangling mass of the uniform init: nDangling exact copies of the
+    // same 12-dp decimal — exact decimal product, then one double cast,
+    // matching what sum(rank) over the dangling rows computes
+    var mass = (java.math.BigDecimal.valueOf(1.0 / n)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .multiply(java.math.BigDecimal.valueOf(nDangling))).doubleValue
+
+    var i = 0
+    while (i < iters) {
+      val contrib = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst"),
+          (col("rank").cast(DoubleType) / col("deg")).cast(dec).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      val obs = new Observation(s"pr_round_$i")
+      val next = base.join(contrib, base("id") === contrib("dst"), "left")
+        .select(base("id"), base("deg"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("cs").cast(DoubleType), lit(0.0)) + lit(mass / n)))
+            .cast(dec).as("rank"))
+        .observe(obs,
+          sum(when(col("deg").isNull, col("rank")).otherwise(lit(null).cast(dec)))
+            .as("dangling_mass"))
+        .persist()
+      next.count()
+      mass = (obs.get("dangling_mass"): @unchecked) match {
+        case x: java.math.BigDecimal => x.doubleValue
+        case x: Number => x.doubleValue
+        case null => 0.0
+      }
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    Materialize.spillRelease(
+      ranks.select(col("id"), col("rank").cast(DoubleType).as("rank")),
+      Seq(ranks, base, e): _*)
+  }
+}

@@ -33,4 +33,27 @@ object Sampling {
       pmod(mdHash(lit(salt), col(keyCol)), lit(granularity.toLong)) <
         (rate * granularity).cast("long"))
   }
+
+  /** Per-group quantile gate: keep rows whose `scoreCol` is at or
+    * above their group's exact p-th percentile (linear interpolation,
+    * the percentile_cont definition) — "drop the bottom 60% of docs
+    * per language by quality" with a cutoff that adapts per group
+    * instead of one global constant.
+    *
+    * Scale shape: one partial-aggregable percentile aggregation per
+    * group (|groups| rows out), broadcast back, one scan-parallel
+    * filter — the row set never shuffles. Group count is assumed
+    * small (languages, sources); the exact percentile agg buffers its
+    * group's values, so for million-group corpora swap in
+    * approx_percentile and accept the sketch error.
+    */
+  def quantileFilter(df: DataFrame, groupCol: String, scoreCol: String,
+      p: Double): DataFrame = {
+    require(p >= 0 && p <= 1, s"p must be in [0,1], got $p")
+    val thr = df.groupBy(col(groupCol).as("__grp"))
+      .agg(percentile(col(scoreCol), lit(p)).as("__thr"))
+    df.join(broadcast(thr),
+        df(groupCol) === thr("__grp") && df(scoreCol) >= thr("__thr"), "inner")
+      .drop("__grp", "__thr")
+  }
 }

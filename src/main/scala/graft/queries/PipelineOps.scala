@@ -102,14 +102,103 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** PageRank over the clickstream transition graph: consecutive
+    * events by the same user (ordered by ts, event_id) form page→page
+    * edges over the `props.k` page ids; 5 damped rounds with
+    * dangling-mass redistribution rank the pages — the link-centrality
+    * quality prior of web curation, built from session transitions.
+    */
+  private val q110PageRank: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("page"),
+        col("ts"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = ev.select(lag(col("page"), 1).over(w).as("src"), col("page").as("dst"))
+      .filter(col("src").isNotNull)
+      .distinct()
+    graft.operators.Graph.pageRank(edges, iters = 5)
+      .select(col("id").as("page"), col("rank"))
+      .orderBy("page")
+  }
+
+  /** Per-language quality-quantile gate: drop the bottom 60% of docs
+    * per language by the standard quality score — the cutoff adapts
+    * per group instead of one global constant. Exact percentile
+    * threshold, broadcast back, scan-parallel filter.
+    */
+  private val q111QuantileFilter: Q = (s, d) => {
+    import graft.functions.TextFunctions.{qualityScore, words}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val docs = Tables.documents(s, d)
+      .withColumn("q", qualityScore(col("text"), words(col("text"))))
+    Sampling.quantileFilter(docs, "lang", "q", 0.6)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"),
+        sum(col("doc_id")).as("id_sum"),
+        round(sum(col("q").cast(DecimalType(30, 12))).cast(DoubleType) /
+          count(lit(1)), 6).as("avg_q"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q111_quantile_filter" -> q111QuantileFilter,
+    "q110_pagerank" -> q110PageRank,
     "q28_contamination" -> q28Contamination,
     "q29_stratified_sample" -> q29StratifiedSample,
     "q37_source_cap" -> q37SourceCap,
     "q98_crosstab" -> q98Crosstab,
     "q99_pipeline_e2e" -> q99PipelineE2E)
 
+  /** One unrolled PageRank round for the q110 oracle — mirrors
+    * Graph.pageRank's expression shapes exactly (decimal rank domain,
+    * double intermediates, identical operand order).
+    */
+  private def prRound(i: Int): String = {
+    val p = i - 1
+    s"""c$i AS (SELECT e.dst, sum(CAST(CAST(r.rank AS DOUBLE) / r.deg AS DECIMAL(30,12))) cs
+       |  FROM edges e JOIN r$p r ON e.src = r.id GROUP BY e.dst),
+       |m$i AS (SELECT coalesce(CAST(sum(rank) AS DOUBLE), 0) m FROM r$p WHERE deg IS NULL),
+       |r$i AS (SELECT b.id, b.deg,
+       |    CAST((1 - 0.85)/(SELECT n FROM params) + 0.85 * (coalesce(CAST(c.cs AS DOUBLE), 0)
+       |      + (SELECT m FROM m$i)/(SELECT n FROM params)) AS DECIMAL(30,12)) rank
+       |  FROM base b LEFT JOIN c$i c ON b.id = c.dst)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q111_quantile_filter" ->
+      """WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') w FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |    least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |    + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.3
+        |    + ((length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE + 1.0)
+        |       / (length(text)::DOUBLE + 1.0)) * 0.3 AS q
+        |  FROM t),
+        |thr AS (SELECT lang, quantile_cont(q, 0.6) AS thr FROM q GROUP BY lang)
+        |SELECT q.lang, count(*) AS n_kept, min(doc_id) AS first_doc,
+        |  sum(doc_id)::BIGINT AS id_sum,
+        |  round(CAST(sum(CAST(q.q AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS avg_q
+        |FROM q JOIN thr ON q.lang = thr.lang AND q.q >= thr.thr
+        |GROUP BY q.lang ORDER BY q.lang""".stripMargin,
+    "q110_pagerank" ->
+      s"""WITH seq AS (SELECT user_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) page, ts, event_id
+         |  FROM events),
+         |edges AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) src,
+         |      page dst FROM seq)
+         |  WHERE src IS NOT NULL),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         |base AS (SELECT n.id, d.deg FROM nodes n LEFT JOIN deg d USING (id)),
+         |params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT id, deg,
+         |    CAST(1.0/(SELECT n FROM params) AS DECIMAL(30,12)) AS rank FROM base),
+         |${(1 to 5).map(prRound).mkString(",\n")}
+         |SELECT id AS page, CAST(rank AS DOUBLE) AS rank
+         |FROM r5 ORDER BY page""".stripMargin,
     "q28_contamination" ->
       """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
         |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')

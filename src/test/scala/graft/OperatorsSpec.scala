@@ -106,6 +106,41 @@ class OperatorsSpec extends SparkSpec {
       (3L, 2L, 0L, "")))
   }
 
+  test("quantileFilter keeps rows at/above the per-group interpolated percentile") {
+    import spark.implicits._
+    // group a: scores 1..5 -> p=0.5 threshold 3.0 (exact hit, kept)
+    // group b: scores 10,20,30,40 -> p=0.5 threshold 25.0 (interpolated)
+    val df = (Seq(1, 2, 3, 4, 5).map(("a", _)) ++ Seq(10, 20, 30, 40).map(("b", _)))
+      .toDF("g", "s").withColumn("s", col("s").cast("double"))
+    val kept = graft.operators.Sampling.quantileFilter(df, "g", "s", 0.5)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("s"))).toSet
+    assert(kept == Set(("a", 3.0), ("a", 4.0), ("a", 5.0), ("b", 30.0), ("b", 40.0)))
+  }
+
+  test("pageRank matches an independent reference, redistributes dangling mass, sums to 1") {
+    import spark.implicits._
+    // cycle + cross-link + feeder + dangling sink (node 5 has no out-edges)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (4L, 1L), (2L, 5L))
+    val out = graft.operators.Graph.pageRank(edges.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+
+    // independent reference: plain double-precision PageRank loop
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val mass = nodes.filterNot(deg.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (0.15 / n + 0.85 * (contrib.getOrElse(v, 0.0) + mass / n))).toMap
+    }
+    assert(out.keySet == nodes.toSet)
+    nodes.foreach(v => assert(math.abs(out(v) - r(v)) < 1e-9, s"node $v: ${out(v)} vs ${r(v)}"))
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
+
   test("pair kernels handle negative ids (floorMod tiling)") {
     import spark.implicits._
     val t = (1 to 30).map(i => s"t$i").mkString(" ")
