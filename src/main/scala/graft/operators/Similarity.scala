@@ -112,25 +112,7 @@ object Similarity {
     def cos(e: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       dotNative(e, col("cv")) / sqrt(n * col("nrm_c"))
 
-    // cell assignment: nearest centroid per corpus row, as a
-    // partially-aggregable argmax — max_by on (rounded cos, -cid)
-    // reproduces the "cos DESC, cid ASC" tie-break and lets the
-    // map-side combine collapse the corpus×centroids product back to
-    // one row per corpus id BEFORE the shuffle. (The window
-    // formulation this replaces shuffled the full |corpus|×|centroids|
-    // product through an Exchange just to take rn=1.)
-    val c = Kernels.fanOut(
-      corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n")))
-      .withColumn("nrm_n", normSqNative(col("e_n")))
-    val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("ccos", cos(col("e_n"), col("nrm_n")))
-      .groupBy("nid")
-      .agg(
-        max_by(col("cid"),
-          struct(round(col("ccos"), 9).as("c"), (-col("cid")).as("t"))).as("cid"),
-        first(col("e_n")).as("e_n"),
-        first(col("nrm_n")).as("nrm_n"))
-      .select(col("nid"), col("e_n"), col("nrm_n"), col("cid"))
+    val assigned = assignToCells(corpus, centroids, idCol, vecCol, dim)
 
     // probe list: nprobe nearest cells per query
     val q = queries.select(col(idCol).as("qid"), asDouble(vecCol, dim).as("e_q"))
@@ -170,20 +152,7 @@ object Similarity {
   def kmeansStep(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
     ensureFunctions(corpus)
-    val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol, dim).as("cv"))
-      .withColumn("nrm_c", normSqNative(col("cv")))
-    val c = Kernels.fanOut(
-      corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n")))
-      .withColumn("nrm_n", normSqNative(col("e_n")))
-    val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("ccos",
-        dotNative(col("e_n"), col("cv")) / sqrt(col("nrm_n") * col("nrm_c")))
-      .groupBy("nid")
-      .agg(
-        max_by(col("cid"),
-          struct(round(col("ccos"), 9).as("c"), (-col("cid")).as("t"))).as("cid"),
-        first(col("e_n")).as("e_n"))
-    assigned
+    assignToCells(corpus, centroids, idCol, vecCol, dim)
       .select(col("cid"), posexplode(col("e_n")).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
       .agg(count(lit(1)).as("n_members"),
@@ -233,6 +202,65 @@ object Similarity {
       i += 1
     }
     cent
+  }
+
+  /** Nearest-centroid cell assignment — the shared core of [[ivfTopK]],
+    * [[kmeansStep]] and [[semanticDedupPairs]]: broadcast the (small)
+    * centroid table, then collapse the corpus×centroids product back
+    * to one row per corpus id with a partially-aggregable argmax —
+    * max_by on (rounded cos, -cid) reproduces the "cos DESC, cid ASC"
+    * tie-break and lets the map-side combine run BEFORE the shuffle.
+    * (The window formulation this replaced shuffled the full product
+    * through an Exchange just to take rn=1.)
+    * Returns (nid, e_n, nrm_n, cid).
+    */
+  private def assignToCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dim: Int): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol, dim).as("cv"))
+      .withColumn("nrm_c", normSqNative(col("cv")))
+    val c = Kernels.fanOut(
+      corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n")))
+      .withColumn("nrm_n", normSqNative(col("e_n")))
+    c.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        dotNative(col("e_n"), col("cv")) / sqrt(col("nrm_n") * col("nrm_c")))
+      .groupBy("nid")
+      .agg(
+        max_by(col("cid"),
+          struct(round(col("ccos"), 9).as("c"), (-col("cid")).as("t"))).as("cid"),
+        first(col("e_n")).as("e_n"),
+        first(col("nrm_n")).as("nrm_n"))
+      .select(col("nid"), col("e_n"), col("nrm_n"), col("cid"))
+  }
+
+  /** SemDeDup-style semantic dedup candidates: embeddings are bucketed
+    * into k-means cells (nearest centroid), and cosine near-duplicate
+    * pairs are discovered only WITHIN each cell — the cluster-then-
+    * compare shape that makes embedding dedup tractable at corpus
+    * scale by turning the all-pairs product into Σ cell². Centroids
+    * come from the caller (a [[kmeans]] run, or any deterministic
+    * seed). Returns (cid, id_a, id_b, cos) with id_a < id_b and
+    * cos ≥ threshold.
+    *
+    * Recall caveat mirrors IVF: a near-dup pair straddling a cell
+    * boundary is missed; tighter cells (more centroids) trade recall
+    * for cost exactly as nprobe does for search.
+    */
+  def semanticDedupPairs(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, dim: Int = 64): DataFrame = {
+    ensureFunctions(corpus)
+    val assigned = assignToCells(corpus, centroids, idCol, vecCol, dim).persist()
+    val a = assigned.select(col("cid"), col("nid").as("id_a"),
+      col("e_n").as("e_a"), col("nrm_n").as("nrm_a"))
+    val b = assigned.select(col("cid"), col("nid").as("id_b"),
+      col("e_n").as("e_b"), col("nrm_n").as("nrm_b"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cid"), col("id_a"), col("id_b"),
+        (dotNative(col("e_a"), col("e_b")) /
+          sqrt(col("nrm_a") * col("nrm_b"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    Materialize.spillRelease(pairs, assigned)
   }
 
   /** LSH-bucketed near-duplicate pairs: cosine ≥ threshold among pairs

@@ -203,7 +203,23 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup-style semantic dedup: the perturbed near-dup corpus is
+    * bucketed into k-means cells (centroids = every 50th original
+    * vector), cosine pairs ≥ 0.99 discovered within cells only — the
+    * cluster-then-compare shape that keeps embedding dedup sub-
+    * quadratic. A perturbed copy lands in its original's cell (cos ≈
+    * 0.998), so recall here matches the brute-force q74 pair set.
+    */
+  private val q112Semdedup: Q = (s, d) => {
+    val cent = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+    Similarity.semanticDedupPairs(nearDupVectors(s, d), cent, "vec_id", "e",
+        threshold = 0.99)
+      .orderBy("id_a", "id_b")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q112_semdedup" -> q112Semdedup,
     "q109_paragraph_dedup" -> q109ParagraphDedup,
     "q105_lsh_recall" -> q105LshRecall,
     "q104_simhash_hamming" -> q104SimhashHamming,
@@ -396,6 +412,23 @@ object DedupSim {
          |  FROM f)
          |SELECT fp, doc_id AS kept_id, n_docs, round(q, 6) AS kept_quality
          |FROM r WHERE n_docs >= 2 AND rn = 1 ORDER BY fp""".stripMargin,
+    "q112_semdedup" ->
+      s"""$vecCte,
+         |cent AS (SELECT vec_id AS cid, e AS cv FROM base WHERE vec_id % 50 = 0),
+         |assigned AS (SELECT vec_id AS nid, e, cid FROM (
+         |  SELECT v.vec_id, v.e, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY round(list_dot_product(v.e, c.cv) /
+         |        sqrt(list_dot_product(v.e, v.e) * list_dot_product(c.cv, c.cv)), 9) DESC,
+         |        c.cid ASC) rn
+         |  FROM vecs v CROSS JOIN cent c) WHERE rn = 1)
+         |SELECT a.cid, a.nid AS id_a, b.nid AS id_b,
+         |  list_dot_product(a.e, b.e) /
+         |    sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) AS cos
+         |FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.nid < b.nid
+         |WHERE list_dot_product(a.e, b.e) /
+         |    sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin,
     "q109_paragraph_dedup" ->
       """WITH lined AS (
         |  SELECT doc_id,
