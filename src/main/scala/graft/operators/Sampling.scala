@@ -56,4 +56,58 @@ object Sampling {
         df(groupCol) === thr("__grp") && df(scoreCol) >= thr("__thr"), "inner")
       .drop("__grp", "__thr")
   }
+
+  /** DSIR-style importance log-weights for domain-targeted data
+    * selection: score every doc by how much more likely its tokens are
+    * under a unigram model of the target domain than under the raw
+    * corpus —
+    *
+    *   logw(doc) = Σ_w  log p̂_target(w) − log p̂_raw(w)
+    *
+    * with add-one smoothing over the corpus vocabulary (so raw-only
+    * words contribute a finite negative weight). `isTarget` marks the
+    * in-domain rows (e.g. `col("lang") === "en"`, or a hand-curated
+    * flag). Docs with high logw read like the target domain; feeding
+    * the weights to [[quantileFilter]] yields the selection step.
+    *
+    * Scale shape: one token explode (linear in corpus tokens), one
+    * partial-aggregable vocab count (both models fall out of the SAME
+    * aggregation — a conditional sum per word), the |vocab|-row
+    * log-ratio table broadcast back over the token stream, one
+    * per-doc decimal sum. Two scalar count actions (token totals,
+    * vocab size); nothing else leaves the executors. Per-word log
+    * ratios are summed as DECIMAL(20,9) — partition-order-independent,
+    * the established unigram-LM pattern.
+    *
+    * Returns (id, n_words, log_weight) per doc, log_weight rounded to
+    * 6 dp.
+    */
+  def importanceLogWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    import graft.functions.TextFunctions.words
+    import org.apache.spark.sql.types.DoubleType
+    // token stream is read three times (totals, vocab, final join) and
+    // the vocab twice — persist both, release on exit (spillRelease)
+    val toks = df.select(col(idCol).as("__id"), isTarget.as("__tgt"),
+      explode(words(col(textCol))).as("word")).persist()
+    val vocab = toks.groupBy("word").agg(
+      count(lit(1)).as("cnt_all"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("cnt_t")).persist()
+    val totals = toks.agg(
+      count(lit(1)).as("total_all"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("total_t")).head()
+    val totalAll = totals.getLong(0).toDouble
+    val totalT = totals.getLong(1).toDouble
+    val v = vocab.count().toDouble
+    val lr = vocab.select(col("word"),
+      (log((col("cnt_t") + 1) / lit(totalT + v)) -
+        log((col("cnt_all") + 1) / lit(totalAll + v)))
+        .cast("decimal(20,9)").as("lw"))
+    val out = toks.join(broadcast(lr), Seq("word"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("lw")).as("slw"))
+      .select(col("__id").as("id"), col("n_words"),
+        round(col("slw").cast(DoubleType), 6).as("log_weight"))
+    Materialize.spillRelease(out, toks, vocab)
+  }
 }

@@ -142,7 +142,20 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** DSIR-style domain-targeted selection weights: English docs play
+    * the target domain; every doc is scored by the log-likelihood
+    * ratio of its tokens under the target vs raw unigram models
+    * (add-one smoothed). The standard importance-resampling scoring
+    * pass of modern pretraining curation.
+    */
+  private val q113ImportanceWeights: Q = (s, d) =>
+    Sampling.importanceLogWeights(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en")
+      .select(col("id").as("doc_id"), col("n_words"), col("log_weight"))
+      .orderBy("doc_id")
+
   val defs: Map[String, Q] = Map(
+    "q113_importance_weights" -> q113ImportanceWeights,
     "q111_quantile_filter" -> q111QuantileFilter,
     "q110_pagerank" -> q110PageRank,
     "q28_contamination" -> q28Contamination,
@@ -167,6 +180,24 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q113_importance_weights" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    unnest(str_split(text, ' ')) AS word FROM documents),
+        |vocab AS (SELECT word, count(*) AS cnt_all,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS cnt_t
+        |  FROM toks GROUP BY word),
+        |tot AS (SELECT count(*)::DOUBLE AS total_all,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::DOUBLE AS total_t,
+        |    (SELECT count(*) FROM vocab)::DOUBLE AS v
+        |  FROM toks),
+        |lr AS (SELECT word,
+        |    CAST(ln((cnt_t + 1) / (total_t + v)) - ln((cnt_all + 1) / (total_all + v))
+        |      AS DECIMAL(20,9)) AS lw
+        |  FROM vocab, tot)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(CAST(sum(lw) AS DOUBLE), 6) AS log_weight
+        |FROM toks JOIN lr USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q111_quantile_filter" ->
       """WITH t AS (SELECT doc_id, lang, text, str_split(text, ' ') w FROM documents),
         |q AS (SELECT doc_id, lang,

@@ -117,6 +117,18 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(("a", 3.0), ("a", 4.0), ("a", 5.0), ("b", 30.0), ("b", 40.0)))
   }
 
+  test("importanceLogWeights: in-domain docs score positive, off-domain negative, exact values") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a", "en"), (2L, "b b", "de")).toDF("doc_id", "text", "lang")
+    val out = graft.operators.Sampling
+      .importanceLogWeights(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("log_weight")).toMap
+    // totals: all=4, target=2, V=2; lw(a)=ln(3/4)-ln(3/6), lw(b)=ln(1/4)-ln(3/6)
+    assert(math.abs(out(1L) - 2 * (math.log(3.0 / 4) - math.log(3.0 / 6))) < 1e-5)
+    assert(math.abs(out(2L) - 2 * (math.log(1.0 / 4) - math.log(3.0 / 6))) < 1e-5)
+    assert(out(1L) > 0 && out(2L) < 0)
+  }
+
   test("pageRank matches an independent reference, redistributes dangling mass, sums to 1") {
     import spark.implicits._
     // cycle + cross-link + feeder + dangling sink (node 5 has no out-edges)
