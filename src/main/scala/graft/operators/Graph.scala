@@ -23,10 +23,13 @@ object Graph {
     * where M is the total rank held by dangling nodes (no out-edges).
     *
     * Scale shape, per round: one equi-join of the edge list against
-    * the rank table on the source id, one partial-aggregable decimal
-    * sum per destination, one left join back onto the node table —
-    * all hash-partitioned on node id, nothing quadratic, nothing on
-    * the driver (the two per-round scalars, N and M, ride an
+    * the rank table on the source id, then ONE partial-aggregable
+    * aggregation — the node table rides the contribution stream as
+    * zero-contribution rows carrying the degree, so the
+    * per-destination decimal sum and the join-back-to-nodes collapse
+    * into a single groupBy. All hash-partitioned on node id, nothing
+    * quadratic, nothing on the driver (the two per-round scalars, N
+    * and M, ride an
     * `observe()` metric on the action that materializes the round, so
     * convergence bookkeeping costs zero extra jobs — same pattern as
     * [[Dedup.nearDupClusters]]). Each superseded round is unpersisted
@@ -79,13 +82,22 @@ object Graph {
 
     var i = 0
     while (i < iters) {
+      // one join + ONE aggregation per round: the node table rides the
+      // contribution stream as zero-contribution rows carrying the
+      // degree, so the per-destination sum and the join-back-to-nodes
+      // collapse into a single groupBy (first(deg) picks the unique
+      // non-null degree; every node appears exactly once on the base
+      // side, so no destination is lost and dangling nodes keep a
+      // null degree)
       val contrib = e.join(ranks, e("src") === ranks("id"))
-        .select(col("dst"),
+        .select(col("dst").as("id"), lit(null).cast("long").as("deg"),
           (col("rank").cast(DoubleType) / col("deg")).cast(dec).as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("cs"))
       val obs = new Observation(s"pr_round_$i")
-      val next = base.join(contrib, base("id") === contrib("dst"), "left")
-        .select(base("id"), base("deg"),
+      val next = contrib
+        .unionByName(base.select(col("id"), col("deg"), lit(null).cast(dec).as("c")))
+        .groupBy("id")
+        .agg(first(col("deg"), ignoreNulls = true).as("deg"), sum(col("c")).as("cs"))
+        .select(col("id"), col("deg"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("cs").cast(DoubleType), lit(0.0)) + lit(mass / n)))
             .cast(dec).as("rank"))
