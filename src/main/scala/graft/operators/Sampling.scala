@@ -57,6 +57,36 @@ object Sampling {
       .drop("__grp", "__thr")
   }
 
+  /** Deterministic downsampling to a target mixture: given desired
+    * stratum proportions (e.g. source or language weights for a
+    * pretraining mix), find the LARGEST corpus achievable by pure
+    * downsampling — scale = min over strata of n_s/w_s — and keep
+    * each stratum at rate (scale·w_s)/n_s via the same hash-threshold
+    * rule as [[stratified]] (reproducible, grow-stable, engine-exact).
+    * The binding stratum (the one scarcest relative to its weight)
+    * keeps everything; others shed rows to match. Strata absent from
+    * `weights` are dropped (rate 0). One count aggregation over the
+    * strata (collected — stratum cardinality is small by definition),
+    * then a scan-parallel filter; the row set never shuffles.
+    */
+  def toMixture(df: DataFrame, strataCol: String, keyCol: String,
+      weights: Map[String, Double], salt: String = "mix",
+      granularity: Int = 1000): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (k, w) =>
+      require(w > 0, s"weights must be positive, got $k -> $w") }
+    val wSum = weights.values.sum
+    val counts = df.groupBy(col(strataCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (k, _) => counts.getOrElse(k, 0L) > 0 }
+    require(present.nonEmpty, "no stratum in `weights` is present in the data")
+    val scale = present.map { case (k, w) => counts(k) / (w / wSum) }.min
+    val rates = present.map { case (k, w) =>
+      k -> math.min(1.0, scale * (w / wSum) / counts(k)) }
+    stratified(df, strataCol, keyCol, rates, defaultRate = 0.0, salt, granularity)
+  }
+
   /** DSIR-style importance log-weights for domain-targeted data
     * selection: score every doc by how much more likely its tokens are
     * under a unigram model of the target domain than under the raw

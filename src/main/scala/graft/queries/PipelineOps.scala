@@ -154,7 +154,21 @@ object PipelineOps {
       .select(col("id").as("doc_id"), col("n_words"), col("log_weight"))
       .orderBy("doc_id")
 
+  /** Deterministic mixture sampling: downsample three sources to a
+    * 50/25/25 pretraining mix — the largest corpus achievable without
+    * upsampling (the binding stratum keeps everything, others shed
+    * rows via the reproducible hash-threshold rule).
+    */
+  private val q114MixtureSample: Q = (s, d) =>
+    Sampling.toMixture(Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("source")
+
   val defs: Map[String, Q] = Map(
+    "q114_mixture_sample" -> q114MixtureSample,
     "q113_importance_weights" -> q113ImportanceWeights,
     "q111_quantile_filter" -> q111QuantileFilter,
     "q110_pagerank" -> q110PageRank,
@@ -180,6 +194,19 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q114_mixture_sample" ->
+      """WITH c AS (SELECT source AS s, count(*) AS n FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)) t(s, wt)),
+        |j AS (SELECT c.s, c.n, w.wt / 1.0 AS wn FROM c JOIN w USING (s)),
+        |sc AS (SELECT min(n / wn) AS scale FROM j),
+        |r AS (SELECT s, least(1.0, (SELECT scale FROM sc) * wn / n) AS rate FROM j)
+        |SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS first_id,
+        |  sum(d.doc_id)::BIGINT AS id_sum
+        |FROM documents d JOIN r ON d.source = r.s
+        |WHERE ('0x' || substr(md5('mix|' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
+        |  CAST(floor(r.rate * 1000) AS BIGINT)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q113_importance_weights" ->
       """WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
         |    unnest(str_split(text, ' ')) AS word FROM documents),

@@ -117,6 +117,24 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(("a", 3.0), ("a", 4.0), ("a", 5.0), ("b", 30.0), ("b", 40.0)))
   }
 
+  test("toMixture: binding stratum keeps all rows, others downsample toward the target mix") {
+    import spark.implicits._
+    // a: 10 rows, b: 100 rows; target 50/50 -> scale = min(10/.5, 100/.5) = 20
+    // a keeps all 10 (binding), b keeps ~10 (rate 0.1)
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++ (11 to 110).map(i => ("b", i.toLong)))
+      .toDF("src", "id")
+    val kept = graft.operators.Sampling.toMixture(df, "src", "id",
+        Map("a" -> 0.5, "b" -> 0.5))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == 10L)
+    assert(kept("b") >= 5L && kept("b") <= 16L) // hash-thresholded at rate 0.1
+    // no weighted stratum present in the data -> eager failure
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.toMixture(
+        df.withColumn("src", lit("c")), "src", "id", Map("a" -> 1.0))
+    }
+  }
+
   test("importanceLogWeights: in-domain docs score positive, off-domain negative, exact values") {
     import spark.implicits._
     val docs = Seq((1L, "a a", "en"), (2L, "b b", "de")).toDF("doc_id", "text", "lang")

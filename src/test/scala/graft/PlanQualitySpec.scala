@@ -99,6 +99,58 @@ class PlanQualitySpec extends SparkSpec {
     assert(windows <= 2, s"corpus-side Window crept back in ($windows windows):\n$p")
   }
 
+  /** Collect every executed plan while `run` executes — for operators
+    * that end in Materialize.spillRelease, whose interesting plans run
+    * eagerly inside the call (the returned frame is just the spilled
+    * parquet read). QueryExecutionListener fires async; poll until the
+    * expected plan arrived or the deadline passed.
+    */
+  private def executedPlansDuring(run: => Unit)(done: String => Boolean): String = {
+    val plans = scala.collection.mutable.Buffer[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      run
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (!done(plans.synchronized(plans.mkString("\n"))) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      plans.synchronized(plans.mkString("\n"))
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("q112 semdedup: centroids broadcast, assignment partially aggregated, no cartesian blowup") {
+    val all = executedPlansDuring {
+      SparkEntry.queries("q112_semdedup")(spark, sf).collect(): Unit
+    }(p => p.contains("max_by"))
+    assert(all.contains("BroadcastNestedLoopJoin") || all.contains("BroadcastHashJoin"),
+      s"centroid side must broadcast:\n$all")
+    assert(all.contains("max_by") && all.contains("partial_"),
+      s"assignment must be a partial-aggregable argmax:\n$all")
+    assert(!all.contains("CartesianProduct"), s"no cartesian corpus blowup:\n$all")
+  }
+
+  test("q113 importance weights: log-ratio table broadcasts over the token stream") {
+    val all = executedPlansDuring {
+      SparkEntry.queries("q113_importance_weights")(spark, sf).collect(): Unit
+    }(p => p.contains("BroadcastHashJoin"))
+    assert(all.contains("BroadcastHashJoin"), s"lr table must broadcast:\n$all")
+    assert(all.contains("partial_"), s"doc sum must partially aggregate:\n$all")
+  }
+
+  test("q109 paragraph dedup: first-occurrence pick is a partial-aggregable min, no window") {
+    val p = plan("q109_paragraph_dedup")
+    assert(p.contains("partial_min") || (p.contains("partial_") && p.contains("min(")),
+      s"keep-first must partially aggregate:\n$p")
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows == 0, s"corpus-wide Window crept in:\n$p")
+  }
+
   test("q39 binned range join plans as a hash join, not a nested loop") {
     val p = plan("q39_range_bin_join")
     assert(!p.contains("BroadcastNestedLoopJoin"),
