@@ -68,9 +68,8 @@ object Dedup {
     *
     * Scale shape: explode to (id, pos, paragraph) — linear in corpus
     * paragraphs, no quadratic term; one partial-aggregable
-    * min(struct(id, pos)) per distinct paragraph; one hash-partitioned
-    * join back on the paragraph (both sides hash on it, and the
-    * aggregated side carries one row per distinct paragraph); one
+    * min(struct(id, pos)) per distinct paragraph, whose output rows
+    * ARE the kept set (no join back to the corpus needed); one
     * per-doc regroup. Grouping keys the paragraph text itself —
     * exactness with no hash-collision caveat; the shuffle carries each
     * paragraph once more than a hashed variant would, a constant
@@ -79,11 +78,11 @@ object Dedup {
   def paragraphDedup(df: DataFrame, idCol: String, linesCol: String): DataFrame = {
     val ex = df.select(col(idCol).cast("long").as("id"),
       posexplode(col(linesCol)).as(Seq("pos", "line")))
-    val firsts = ex.groupBy("line")
+    // the min-(id,pos) row per distinct paragraph IS the kept
+    // occurrence — one aggregation, no join-back-and-refilter
+    val kept = ex.groupBy("line")
       .agg(min(struct(col("id"), col("pos"))).as("first"))
-    val kept = ex.join(firsts, Seq("line"))
-      .filter(col("id") === col("first.id") && col("pos") === col("first.pos"))
-      .select(col("id"), col("pos"), col("line"))
+      .select(col("first.id").as("id"), col("first.pos").as("pos"), col("line"))
     // reassembly without a window: collect the (pos, line) structs per
     // doc, sort in-array (pos is unique per doc), join by '\n'
     val perDoc = kept.groupBy("id").agg(
