@@ -109,6 +109,62 @@ object GeoMeanAgg extends Aggregator[Double, (Double, Long), Double] {
   override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
 }
 
+/** Count-min sketch as a typed Aggregator — the mergeable-sketch
+  * pattern that makes approximate frequency counting distributable:
+  * every partition folds rows into a fixed d×w counter grid, grids
+  * add elementwise in `merge` (commutative + associative, so shuffle
+  * and combine order never matter), and the estimate for any key is
+  * min over rows i of cell (i, h_i(key)) — never an underestimate,
+  * over by at most εN with probability 1−δ (ε = e/w, δ = e^−d).
+  * Fixed d=4, w=256 ⇒ a 8 KiB sketch regardless of corpus size.
+  *
+  * h_i(key) = the library's 60-bit md5 hash of "cm{i}|key" mod w —
+  * deterministic and cross-engine, so an oracle can rebuild the
+  * IDENTICAL sketch from exact counts in SQL and the estimates match
+  * bit-for-bit (no probabilistic slack needed in the check).
+  */
+object CountMinAgg extends Aggregator[String, Array[Long], Seq[Long]] {
+  val depth = 4
+  val width = 256
+
+  /** Cell row-offsets of `key`: h_i(key), the mdHash 60-bit parse
+    * (first 15 md5 hex chars) mod width — bit-identical to
+    * `TextFunctions.mdHash(lit("cm" + i), col)`.
+    */
+  def cells(key: String): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(depth) { i =>
+      md.reset()
+      val dg = md.digest(s"cm$i|$key".getBytes("UTF-8"))
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((dg(7) & 0xf0L) >> 4)
+      (h % width).toInt
+    }
+  }
+
+  override def zero: Array[Long] = new Array[Long](depth * width)
+  override def reduce(b: Array[Long], a: String): Array[Long] = {
+    if (a != null) {
+      val c = cells(a)
+      var i = 0
+      while (i < depth) { b(i * width + c(i)) += 1; i += 1 }
+    }
+    b
+  }
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < x.length) { x(i) += y(i); i += 1 }
+    x
+  }
+  override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+  override def bufferEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 /** Custom Generator (UDTF): explode a text column into its word
   * n-gram shingles — one output row per shingle, the engine-level
   * building block under the dedup operators (SURVEY.md §2.2 UDTF row).
@@ -159,5 +215,7 @@ object GraftRegistry {
       (exprs: Seq[Expression]) => DotExpr(exprs.head, exprs(1)), "built-in")
     spark.udf.register("graft_geomean",
       org.apache.spark.sql.functions.udaf(GeoMeanAgg))
+    spark.udf.register("graft_cm_sketch",
+      org.apache.spark.sql.functions.udaf(CountMinAgg))
   }
 }

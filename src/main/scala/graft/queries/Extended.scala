@@ -24,6 +24,31 @@ object Extended {
       .orderBy("l_returnflag")
   }
 
+  /** Count-min sketch UDAF: one mergeable 4×256 sketch over the event
+    * page stream, then per-page estimates = min over rows of the
+    * page's cells — compared against exact counts. The sketch is
+    * deterministic (md5 hash family), so the oracle rebuilds the
+    * identical grid from exact counts and the estimates match
+    * bit-for-bit.
+    */
+  private val q115CountMin: Q = (s, d) => {
+    GraftRegistry.register(s)
+    import graft.functions.TextFunctions.mdHash
+    val ev = Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").cast("string").as("page"))
+    val sketch = ev.agg(expr("graft_cm_sketch(page)").as("sk"))
+    val exact = ev.groupBy("page").agg(count(lit(1)).as("n_exact"))
+    val est = (0 until graft.functions.CountMinAgg.depth).map { i =>
+      element_at(col("sk"),
+        (lit(i * graft.functions.CountMinAgg.width) +
+          pmod(mdHash(lit(s"cm$i"), col("page")),
+            lit(graft.functions.CountMinAgg.width.toLong))).cast("int") + 1)
+    }.reduceLeft(least(_, _))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("page").cast("long").as("page"), col("n_exact"), est.as("est"))
+      .orderBy("page")
+  }
+
   /** Native codegen'd logit expression through the SQL registry. */
   private val q34NativeLogit: Q = (s, d) => {
     GraftRegistry.register(s)
@@ -94,6 +119,7 @@ object Extended {
   }
 
   val defs: Map[String, Q] = Map(
+    "q115_count_min" -> q115CountMin,
     "q33_udaf_geomean" -> q33Geomean,
     "q36_custom_generator" -> q36CustomGenerator,
     "q34_native_logit" -> q34NativeLogit,
@@ -102,6 +128,19 @@ object Extended {
     "q84_multimodal_frame_sample" -> q84MultimodalFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "q115_count_min" ->
+      """WITH pages AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)::VARCHAR AS page
+        |  FROM events),
+        |exact AS (SELECT page, count(*) AS n_exact FROM pages GROUP BY page),
+        |h AS (SELECT page, i,
+        |    ('0x' || substr(md5('cm' || i || '|' || page), 1, 15))::BIGINT % 256 AS b
+        |  FROM exact, range(0, 4) t(i)),
+        |cells AS (SELECT i, b, sum(n_exact) AS cell
+        |  FROM h JOIN exact USING (page) GROUP BY i, b),
+        |est AS (SELECT h.page, min(c.cell)::BIGINT AS est
+        |  FROM h JOIN cells c ON h.i = c.i AND h.b = c.b GROUP BY h.page)
+        |SELECT CAST(e.page AS BIGINT) AS page, e.n_exact, est.est
+        |FROM exact e JOIN est USING (page) ORDER BY page""".stripMargin,
     "q36_custom_generator" ->
       """WITH t AS (SELECT str_split(text, ' ') w FROM documents),
         |sh AS (SELECT unnest([array_to_string(w[i:i+2], ' ')

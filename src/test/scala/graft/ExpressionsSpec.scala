@@ -7,6 +7,23 @@ import graft.operators.{Multimodal, Similarity}
 
 class ExpressionsSpec extends SparkSpec {
 
+  test("count-min sketch: never underestimates, partition-split merge equals single-pass") {
+    import graft.functions.CountMinAgg
+    val keys = (1 to 50).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i"))
+    val whole = keys.foldLeft(CountMinAgg.zero)(CountMinAgg.reduce)
+    val (l, r) = keys.splitAt(keys.length / 3)
+    val merged = CountMinAgg.merge(
+      l.foldLeft(CountMinAgg.zero)(CountMinAgg.reduce),
+      r.foldLeft(CountMinAgg.zero)(CountMinAgg.reduce))
+    assert(whole.toSeq == merged.toSeq)
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+    exact.foreach { case (k, n) =>
+      val est = CountMinAgg.cells(k).zipWithIndex
+        .map { case (c, i) => whole(i * CountMinAgg.width + c) }.min
+      assert(est >= n, s"$k: est $est < exact $n")
+    }
+  }
+
   test("LogitExpr: torch edge semantics (NaN/Inf, not NULL) and interior parity") {
     GraftRegistry.register(spark)
     import spark.implicits._
