@@ -311,7 +311,102 @@ object SqlAndSources {
         |ORDER BY o_orderpriority, rn""".stripMargin)
   }
 
+  /** TPC-H Q5 shape: region-gated 6-way join, revenue per nation. */
+  private val q116SqlQ5Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q5_SQL)
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT JOIN
+    * with a join-side filter, then a group-of-groups.
+    */
+  private val q117SqlQ13Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q13_SQL)
+  }
+
+  /** TPC-H Q17 shape: correlated scalar AVG subquery per part
+    * (small-quantity revenue); exact decimal output sum.
+    */
+  private val q118SqlQ17Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q17_SQL)
+  }
+
+  /** TPC-H Q18 shape: IN over a grouped-HAVING subquery (large-volume
+    * orders), re-aggregated with the customer.
+    */
+  private val q119SqlQ18Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q18_SQL)
+  }
+
+  /** TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact table
+    * with outer references from two tables (suppliers who were the
+    * sole late shipper on a finished order).
+    */
+  private val q120SqlQ21Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q21_SQL)
+  }
+
+  private val Q5_SQL =
+    """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  private val Q13_SQL =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private val Q17_SQL =
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |  AS DOUBLE) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  private val Q18_SQL =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  private val Q21_SQL =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |  JOIN orders ON o_orderkey = l1.l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+      |    AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+      |    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |  AND n_name = 'NATION_3'
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q116_sql_q5_shape" -> q116SqlQ5Shape,
+    "q117_sql_q13_shape" -> q117SqlQ13Shape,
+    "q118_sql_q17_shape" -> q118SqlQ17Shape,
+    "q119_sql_q18_shape" -> q119SqlQ18Shape,
+    "q120_sql_q21_shape" -> q120SqlQ21Shape,
     "q108_sql_topk" -> q108SqlTopK,
     "q90_sql_tpch_q3" -> q90SqlTpchQ3,
     "q93_sql_correlated_subquery" -> q93SqlCorrelated,
@@ -332,6 +427,11 @@ object SqlAndSources {
     "q49_json_regex" -> q49JsonRegex)
 
   val oracles: Map[String, String] = Map(
+    "q116_sql_q5_shape" -> Q5_SQL,
+    "q117_sql_q13_shape" -> Q13_SQL,
+    "q118_sql_q17_shape" -> Q17_SQL,
+    "q119_sql_q18_shape" -> Q18_SQL,
+    "q120_sql_q21_shape" -> Q21_SQL,
     "q108_sql_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
