@@ -18,6 +18,30 @@ class StreamingSpec extends SparkSpec {
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+  test("count-min sketch aggregates under streaming state: incremental == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftRegistry.register(spark)
+    val input = MemoryStream[String]
+    // complete-mode global agg: state carries the sketch buffer across
+    // micro-batches, merged via CountMinAgg.merge — the mergeable-
+    // sketch property is exactly what streaming state requires
+    val q = input.toDF().toDF("page")
+      .groupBy().agg(expr("graft_cm_sketch(page)").as("sk"))
+      .writeStream.format("memory").queryName("cmstream").outputMode("complete").start()
+    val batch1 = Seq("a", "b", "a", "c")
+    val batch2 = Seq("a", "d", "b")
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cmstream").collect().head.getSeq[Long](0)
+    val batch = (batch1 ++ batch2)
+      .foldLeft(graft.functions.CountMinAgg.zero)(graft.functions.CountMinAgg.reduce)
+    assert(streamed == batch.toSeq)
+    q.stop()
+  }
+
   test("tumbling window with watermark drops late data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
