@@ -49,8 +49,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
     ensureFunctions(corpus)
-    val c = Kernels.fanOut(
-      corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n")))
+    // NOTE deliberately NOT Kernels.fanOut: the dot-product kernel is
+    // cheap codegen'd arithmetic, and the repartition would break the
+    // scan -> broadcast-join stage fusion for no kernel win (measured
+    // 2x slower at sf0.1); fan-out is for the expensive hash kernels
+    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n"))
       .withColumn("nrm_n", normSqNative(col("e_n")))
     val q = queries.select(col(idCol).as("qid"), asDouble(vecCol, dim).as("e_q"))
       .withColumn("nrm_q", normSqNative(col("e_q")))
@@ -218,8 +221,11 @@ object Similarity {
       idCol: String, vecCol: String, dim: Int): DataFrame = {
     val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol, dim).as("cv"))
       .withColumn("nrm_c", normSqNative(col("cv")))
-    val c = Kernels.fanOut(
-      corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n")))
+    // NOTE deliberately NOT Kernels.fanOut: the dot-product kernel is
+    // cheap codegen'd arithmetic, and the repartition would break the
+    // scan -> broadcast-join stage fusion for no kernel win (measured
+    // 2x slower at sf0.1); fan-out is for the expensive hash kernels
+    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n"))
       .withColumn("nrm_n", normSqNative(col("e_n")))
     c.crossJoin(broadcast(cent))
       .withColumn("ccos",
