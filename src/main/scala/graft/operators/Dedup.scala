@@ -91,7 +91,9 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line")), "\n").as("text_kept"))
     df.select(col(idCol).cast("long").as("id"),
-        size(col(linesCol)).cast("long").as("n_lines"))
+        // null lines array = no paragraphs (size(null) is null, and the
+        // explode emits nothing for it)
+        coalesce(size(col(linesCol)), lit(0)).cast("long").as("n_lines"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -68,6 +68,11 @@ object Graph {
       case x: Number => x.longValue
       case null => 0L
     }
+    if (n == 0) { // empty edge list: no nodes, no ranks (avoid 1/0 -> NaN)
+      base.unpersist(); e.unpersist()
+      return edges.sparkSession.range(0)
+        .select(col("id"), lit(0.0).as("rank"))
+    }
 
     // init: uniform 1/N, cast (= rounded) to the decimal rank domain
     var ranks = base

@@ -147,6 +147,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) > 0 && out(2L) < 0)
   }
 
+  test("pageRank on an empty edge list returns an empty frame; paragraphDedup handles null lines") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.pageRank(empty, iters = 2).count() == 0)
+    val docs = Seq((1L, Seq("x")), (2L, null)).toDF("id", "lines")
+    val out = graft.operators.Dedup.paragraphDedup(docs, "id", "lines")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_kept"))).toSet
+    assert(out == Set((1L, 1L, 1L), (2L, 0L, 0L)))
+  }
+
   test("pageRank matches an independent reference, redistributes dangling mass, sums to 1") {
     import spark.implicits._
     // cycle + cross-link + feeder + dangling sink (node 5 has no out-edges)
