@@ -401,7 +401,94 @@ object SqlAndSources {
       |  AND n_name = 'NATION_3'
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
 
+  /** TPC-H Q1 shape: the full pricing summary (multi-expression
+    * decimal aggregate block) through the SQL surface.
+    */
+  private val q121SqlQ1Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q1_SQL)
+  }
+
+  /** TPC-H Q6 shape: tight filter conjunction into a single decimal
+    * sum (the canonical pushdown-everything query).
+    */
+  private val q122SqlQ6Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q6_SQL)
+  }
+
+  /** TPC-H Q8 shape: 8-way join with a conditional market-share
+    * ratio per year.
+    */
+  private val q123SqlQ8Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q8_SQL)
+  }
+
+  /** TPC-H Q20 shape: nested IN chains (suppliers of promoted parts
+    * above a shipped-quantity threshold; partsupp-free adaptation).
+    */
+  private val q124SqlQ20Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q20_SQL)
+  }
+
+  private val Q1_SQL =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+      |    (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= DATE '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val Q6_SQL =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |  CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  private val Q8_SQL =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE) /
+      |    CAST(sum(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |    JOIN region ON n1.n_regionkey = r_regionkey
+      |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_size <= 20) allnations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  private val Q20_SQL =
+    """SELECT s_name, s_suppkey
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_7', 'NATION_8', 'NATION_9') AND s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      |  GROUP BY l_suppkey HAVING sum(l_quantity) > 1500)
+      |ORDER BY s_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q121_sql_q1_shape" -> q121SqlQ1Shape,
+    "q122_sql_q6_shape" -> q122SqlQ6Shape,
+    "q123_sql_q8_shape" -> q123SqlQ8Shape,
+    "q124_sql_q20_shape" -> q124SqlQ20Shape,
     "q116_sql_q5_shape" -> q116SqlQ5Shape,
     "q117_sql_q13_shape" -> q117SqlQ13Shape,
     "q118_sql_q17_shape" -> q118SqlQ17Shape,
@@ -427,6 +514,10 @@ object SqlAndSources {
     "q49_json_regex" -> q49JsonRegex)
 
   val oracles: Map[String, String] = Map(
+    "q121_sql_q1_shape" -> Q1_SQL,
+    "q122_sql_q6_shape" -> Q6_SQL,
+    "q123_sql_q8_shape" -> Q8_SQL,
+    "q124_sql_q20_shape" -> Q20_SQL,
     "q116_sql_q5_shape" -> Q5_SQL,
     "q117_sql_q13_shape" -> Q13_SQL,
     "q118_sql_q17_shape" -> Q17_SQL,
