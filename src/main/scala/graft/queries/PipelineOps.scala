@@ -167,7 +167,41 @@ object PipelineOps {
         sum(col("doc_id")).as("id_sum"))
       .orderBy("source")
 
+  /** MERGE/upsert corpus maintenance: a deterministic change batch
+    * (re-scored copies of every 20th doc + brand-new docs) reconciles
+    * into the corpus in one full-outer pass — updates win on key
+    * match, inserts append, untouched rows pass through.
+    */
+  private val q125MergeUpsert: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val updates = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        (col("n_chars") + 1000).as("n_chars"))
+    val inserts = docs.filter(col("doc_id") % 20 === 5)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    graft.operators.Merge.upsert(docs, updates.unionByName(inserts), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
+  /** Z-order values over (customer, order) — the Morton interleave
+    * behind `clusterByZ`'s layout rewrite, emitted per row so the
+    * curve itself is oracle-checked bit-for-bit.
+    */
+  private val q126Zorder: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        graft.operators.Layout.zValue(
+          pmod(col("o_custkey"), lit(1024)), pmod(col("o_orderkey"), lit(1024)), 10)
+          .as("zval"))
+      .orderBy("o_orderkey")
+
   val defs: Map[String, Q] = Map(
+    "q126_zorder" -> q126Zorder,
+    "q125_merge_upsert" -> q125MergeUpsert,
     "q114_mixture_sample" -> q114MixtureSample,
     "q113_importance_weights" -> q113ImportanceWeights,
     "q111_quantile_filter" -> q111QuantileFilter,
@@ -194,6 +228,28 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q126_zorder" ->
+      """SELECT o_orderkey,
+        |  list_sum(list_transform(range(0, 10), b ->
+        |    ((((o_custkey % 1024) >> b) & 1) << (2*b))
+        |      + ((((o_orderkey % 1024) >> b) & 1) << (2*b + 1))))::BIGINT AS zval
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q125_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT doc_id, text, lang, source, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 900000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 20 = 5),
+        |merged AS (
+        |  SELECT
+        |    CASE WHEN c.doc_id IS NOT NULL THEN c.doc_id ELSE d.doc_id END AS doc_id,
+        |    CASE WHEN c.doc_id IS NOT NULL THEN c.lang ELSE d.lang END AS lang,
+        |    CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE d.n_chars END AS n_chars
+        |  FROM documents d FULL OUTER JOIN changes c ON d.doc_id = c.doc_id)
+        |SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  max(doc_id) AS max_id
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
     "q114_mixture_sample" ->
       """WITH c AS (SELECT source AS s, count(*) AS n FROM documents
         |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),

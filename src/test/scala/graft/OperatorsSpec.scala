@@ -117,6 +117,37 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(("a", 3.0), ("a", 4.0), ("a", 5.0), ("b", 30.0), ("b", 40.0)))
   }
 
+  test("Merge.upsert: matched rows take source values (incl. nulls), inserts append, rest pass") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "n")
+    val source = Seq((2L, null.asInstanceOf[String], 99), (3L, "c", 30)).toDF("id", "v", "n")
+    val out = graft.operators.Merge.upsert(target, source, "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[Int]("n"))).toSet
+    // row 2's v becomes NULL — a matched row takes ALL source values
+    assert(out == Set((1L, "a", 10), (2L, null, 99), (3L, "c", 30)))
+  }
+
+  test("Layout.zValue interleaves bits; clusterByZ gives files tight z-ranges") {
+    import spark.implicits._
+    val z = Seq((3, 5)).toDF("x", "y")
+      .select(graft.operators.Layout.zValue(col("x"), col("y"), 4).as("z"))
+      .head().getLong(0)
+    assert(z == 39L) // x=011 -> bits 0,2; y=101 -> bits 1,5: 1+2+4+32
+    // cluster 1024 scattered points into 4 partitions: each partition's
+    // z-range must be disjoint from the others (tight bounding boxes)
+    val pts = (0 until 1024).map(i => (i % 32, (i * 7) % 32)).toDF("x", "y")
+    val ranges = graft.operators.Layout.clusterByZ(pts, "x", "y", 4, bits = 5)
+      .select(graft.operators.Layout.zValue(col("x"), col("y"), 5).as("z"))
+      .rdd.mapPartitions(it => {
+        val zs = it.map(_.getLong(0)).toSeq
+        if (zs.isEmpty) Iterator.empty else Iterator((zs.min, zs.max))
+      }).collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlapping z-ranges: $hi > $lo")
+      case _ =>
+    }
+  }
+
   test("toMixture: binding stratum keeps all rows, others downsample toward the target mix") {
     import spark.implicits._
     // a: 10 rows, b: 100 rows; target 50/50 -> scale = min(10/.5, 100/.5) = 20
