@@ -401,6 +401,82 @@ object SqlAndSources {
       |  AND n_name = 'NATION_3'
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
 
+  /** TPC-H Q2 shape: minimum-cost supplier — region-gated 5-way join
+    * with a correlated scalar MIN subquery over the same join tree.
+    * The synthetic schema has no partsupp, so lineitem serves as the
+    * part↔supplier bridge (hence DISTINCT) and s_acctbal stands in
+    * for ps_supplycost.
+    */
+  private val q127SqlQ2Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q2_SQL)
+  }
+
+  /** TPC-H Q9 shape: product-line profit by nation and year — 5-way
+    * join, LIKE filter, per-row profit expression aggregated per
+    * (nation, year). p_retailprice stands in for ps_supplycost in the
+    * cost term (no partsupp in the synthetic schema).
+    */
+  private val q128SqlQ9Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q9_SQL)
+  }
+
+  /** TPC-H Q11 shape: important-stock identification — grouped sum
+    * with a HAVING threshold against an uncorrelated scalar subquery
+    * that re-aggregates the same join (fraction-of-total gate).
+    */
+  private val q129SqlQ11Shape: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(Q11_SQL)
+  }
+
+  private val Q2_SQL =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size BETWEEN 10 AND 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+      |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+      |     FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+      |       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |     WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  private val Q9_SQL =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) -
+      |      CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) *
+      |      CAST(0.05 AS DECIMAL(3,2)) AS amount
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN orders ON o_orderkey = l_orderkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%widget%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  private val Q11_SQL =
+    """SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY l_partkey
+      |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > (
+      |  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 0.0012
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA')
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
   /** TPC-H Q1 shape: the full pricing summary (multi-expression
     * decimal aggregate block) through the SQL surface.
     */
@@ -485,6 +561,9 @@ object SqlAndSources {
       |ORDER BY s_name""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q127_sql_q2_shape" -> q127SqlQ2Shape,
+    "q128_sql_q9_shape" -> q128SqlQ9Shape,
+    "q129_sql_q11_shape" -> q129SqlQ11Shape,
     "q121_sql_q1_shape" -> q121SqlQ1Shape,
     "q122_sql_q6_shape" -> q122SqlQ6Shape,
     "q123_sql_q8_shape" -> q123SqlQ8Shape,
@@ -514,6 +593,9 @@ object SqlAndSources {
     "q49_json_regex" -> q49JsonRegex)
 
   val oracles: Map[String, String] = Map(
+    "q127_sql_q2_shape" -> Q2_SQL,
+    "q128_sql_q9_shape" -> Q9_SQL,
+    "q129_sql_q11_shape" -> Q11_SQL,
     "q121_sql_q1_shape" -> Q1_SQL,
     "q122_sql_q6_shape" -> Q6_SQL,
     "q123_sql_q8_shape" -> Q8_SQL,
