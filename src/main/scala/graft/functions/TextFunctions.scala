@@ -176,6 +176,30 @@ object TextFunctions {
       .otherwise("und")
   }
 
+  /** Gopher-style rule verdict: first failed rule name, or "pass".
+    * The rule battery of web-corpus curation (Gopher §A1.1 / FineWeb)
+    * as one codegen'd CASE chain — word-count bounds, mean-word-length
+    * band, alphabetic-character purity. Thresholds are parameters;
+    * defaults sit inside this corpus's observed distribution so every
+    * branch is exercised. First-match semantics mirror how curation
+    * pipelines report a single rejection reason per doc.
+    */
+  def gopherVerdict(text: Column, w: Column,
+      minWords: Int = 15, maxWords: Int = 80,
+      minMeanWordLen: Double = 4.3, maxMeanWordLen: Double = 4.7,
+      minAlphaRatio: Double = 0.999): Column = {
+    val nw = size(w)
+    val meanWordLen =
+      length(regexp_replace(text, " ", "")).cast(DoubleType) / nw.cast(DoubleType)
+    val alphaRatio = (length(regexp_replace(text, "[^A-Za-z ]", "")).cast(DoubleType) + lit(1.0)) /
+      (length(text).cast(DoubleType) + lit(1.0))
+    when(nw < minWords, "too_short")
+      .when(nw > maxWords, "too_long")
+      .when(meanWordLen < minMeanWordLen || meanWordLen > maxMeanWordLen, "word_len")
+      .when(alphaRatio < minAlphaRatio, "symbols")
+      .otherwise("pass")
+  }
+
   /** Composite quality score in [0,1]: length saturation, lexical
     * diversity, alpha-char purity. Deterministic double arithmetic.
     */

@@ -26,15 +26,18 @@ object Merge {
   def upsert(target: DataFrame, source: DataFrame, keyCol: String): DataFrame = {
     require(target.columns.sameElements(source.columns),
       s"schemas must match: ${target.columns.mkString(",")} vs ${source.columns.mkString(",")}")
-    val t = target.alias("t")
-    val s = source.alias("s")
-    val joined = t.join(s, t(keyCol) === s(keyCol), "full_outer")
+    // alias-qualified names, NOT t(col)/s(col) dataset accessors: when
+    // the change batch derives from the target (the usual CDC case —
+    // compaction, re-score), the accessors carry the same exprIds on
+    // both sides and the analyzer rejects the self-join as ambiguous
+    val joined = target.alias("t")
+      .join(source.alias("s"), col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
     // row provenance decides per ROW (not per cell): a matched row takes
     // every source value — including genuine source NULLs, which a
     // cell-level coalesce would silently un-update
-    val fromSource = s(keyCol).isNotNull
+    val fromSource = col(s"s.$keyCol").isNotNull
     val merged = target.columns.map { c =>
-      when(fromSource, s(c)).otherwise(t(c)).as(c)
+      when(fromSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
     }
     joined.select(merged.toIndexedSeq: _*)
   }

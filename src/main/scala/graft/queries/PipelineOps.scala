@@ -199,7 +199,114 @@ object PipelineOps {
           .as("zval"))
       .orderBy("o_orderkey")
 
+  /** Gopher-style rule gate with a rejection-reason breakdown: every
+    * doc gets its first failed rule (or "pass"), reported per
+    * (source, reason) — the curation dashboard that tells you WHY the
+    * corpus shrank, not just by how much. One codegen'd CASE chain,
+    * one shuffle for the small breakdown aggregate.
+    */
+  private val q130GopherRules: Q = (s, d) => {
+    import graft.functions.TextFunctions.{gopherVerdict, words}
+    val docs = Tables.documents(s, d)
+    docs.select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("nw"),
+        gopherVerdict(col("text"), words(col("text"))).as("reason"))
+      .groupBy("source", "reason")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        sum(col("nw")).as("sum_words"))
+      .orderBy("source", "reason")
+  }
+
+  /** Bloom-prefiltered semi-join (explicit runtime filter): orders of
+    * BUILDING-segment customers via [[graft.operators.Joins.bloomSemiJoin]]
+    * — an 8 KiB bit array broadcast to the orders scan drops
+    * non-matching rows before any shuffle; the exact join then removes
+    * Bloom false positives, so the oracle is the plain IN-subquery.
+    */
+  private val q131BloomSemiJoin: Q = (s, d) => {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val flagged = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+    graft.operators.Joins.bloomSemiJoin(
+        Tables.orders(s, d), "o_custkey", flagged, "c_custkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Takedown pass via Bloom-prefiltered ANTI join
+    * ([[graft.operators.Joins.bloomAntiJoin]]): remove every corpus doc
+    * whose content hash appears in a takedown list (all src3/fr docs) —
+    * including byte-identical copies elsewhere in the corpus. Rows that
+    * miss the broadcast Bloom filter pass through with no join; only
+    * the hit sliver takes the exact anti-join. Oracle is the plain
+    * NOT IN.
+    */
+  private val q132BloomTakedown: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.withColumn("__fp", md5(col("text")))
+    val takedown = docs
+      .filter(col("source") === "src3" && col("lang") === "fr")
+      .select(md5(col("text")).as("__tfp")).distinct()
+    graft.operators.Joins.bloomAntiJoin(corpus, "__fp", takedown, "__tfp")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+  }
+
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor draws 4 pseudo-random candidate ids from the corpus via
+    * the cross-engine hash (collision with self remaps to the next
+    * id), then same-class candidates are filtered out after a label
+    * join — the standard "random negatives, exclude positives" pass,
+    * fully reproducible across runs and engines. The corpus size
+    * enters as a broadcast one-row aggregate, not a driver constant.
+    */
+  private val q133NegativeSampling: Q = (s, d) => {
+    import graft.functions.TextFunctions.mdHash
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val nRow = e.agg(count(lit(1)).as("__n"))
+    val base = e.crossJoin(broadcast(nRow))
+      .select(col("vec_id"), col("label"), col("__n"),
+        explode(array((1 to 4).map(lit(_)): _*)).as("j"))
+      .withColumn("__cand",
+        pmod(mdHash(concat_ws("|", lit("neg"), col("vec_id"), col("j"))), col("__n")))
+      .withColumn("neg_id",
+        when(col("__cand") === col("vec_id"), pmod(col("__cand") + 1, col("__n")))
+          .otherwise(col("__cand")))
+    base.join(e.select(col("vec_id").as("neg_id"), col("label").as("neg_label")),
+        Seq("neg_id"))
+      .filter(col("neg_label") =!= col("label"))
+      .select("vec_id", "j", "neg_id", "neg_label")
+      .orderBy("vec_id", "j")
+  }
+
+  /** Deterministic word-dropout augmentation: ~10% of token positions
+    * drop, chosen by the cross-engine hash of (doc, position) — the
+    * reproducible-noise contract augmentation pipelines need (same
+    * doc, same seed → same augmented text on any run or engine).
+    */
+  private val q134WordDropout: Q = (s, d) => {
+    import graft.functions.TextFunctions.{mdHash, words}
+    Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        filter(words(col("text")), (_, i) =>
+          pmod(mdHash(concat_ws("|", lit("drop"), col("doc_id"), i)), lit(10L)) =!= 0L)
+          .as("kept"))
+      .select(col("doc_id"), size(col("kept")).cast("long").as("n_kept"),
+        array_join(slice(col("kept"), 1, 12), " ").as("head"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q133_negative_sampling" -> q133NegativeSampling,
+    "q134_word_dropout" -> q134WordDropout,
+    "q132_bloom_takedown" -> q132BloomTakedown,
+    "q130_gopher_rules" -> q130GopherRules,
+    "q131_bloom_semi_join" -> q131BloomSemiJoin,
     "q126_zorder" -> q126Zorder,
     "q125_merge_upsert" -> q125MergeUpsert,
     "q114_mixture_sample" -> q114MixtureSample,
@@ -228,6 +335,56 @@ object PipelineOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q133_negative_sampling" ->
+      """WITH n AS (SELECT count(*) AS n FROM embeddings),
+        |cand AS (SELECT vec_id, label, j,
+        |    ('0x' || substr(md5('neg|' || vec_id::VARCHAR || '|' || j::VARCHAR), 1, 15))::BIGINT
+        |      % (SELECT n FROM n) AS c
+        |  FROM embeddings, (SELECT unnest([1, 2, 3, 4]) AS j)),
+        |neg AS (SELECT vec_id, label, j,
+        |    CASE WHEN c = vec_id THEN (c + 1) % (SELECT n FROM n) ELSE c END AS neg_id
+        |  FROM cand)
+        |SELECT g.vec_id, g.j, g.neg_id, e.label AS neg_label
+        |FROM neg g JOIN embeddings e ON g.neg_id = e.vec_id
+        |WHERE e.label <> g.label
+        |ORDER BY g.vec_id, g.j""".stripMargin,
+    "q134_word_dropout" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |k AS (SELECT doc_id, [w[i] FOR i IN range(1, len(w) + 1) IF
+        |    ('0x' || substr(md5('drop|' || doc_id::VARCHAR || '|' || (i - 1)::VARCHAR),
+        |      1, 15))::BIGINT % 10 <> 0] AS kept
+        |  FROM t)
+        |SELECT doc_id, len(kept)::BIGINT AS n_kept,
+        |  array_to_string(kept[1:12], ' ') AS head
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q132_bloom_takedown" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE md5(text) NOT IN (
+        |  SELECT md5(text) FROM documents WHERE source = 'src3' AND lang = 'fr')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q130_gopher_rules" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(str_split(text, ' ')) AS nw,
+        |    length(replace(text, ' ', ''))::DOUBLE
+        |      / len(str_split(text, ' ')) AS mwl,
+        |    (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE + 1.0)
+        |      / (length(text)::DOUBLE + 1.0) AS alpha
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN nw < 15 THEN 'too_short' WHEN nw > 80 THEN 'too_long'
+        |    WHEN mwl < 4.3 OR mwl > 4.7 THEN 'word_len'
+        |    WHEN alpha < 0.999 THEN 'symbols' ELSE 'pass' END AS reason,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc, sum(nw)::BIGINT AS sum_words
+        |FROM t GROUP BY source, reason ORDER BY source, reason""".stripMargin,
+    "q131_bloom_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q126_zorder" ->
       """SELECT o_orderkey,
         |  list_sum(list_transform(range(0, 10), b ->

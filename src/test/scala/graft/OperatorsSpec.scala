@@ -125,6 +125,14 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[Int]("n"))).toSet
     // row 2's v becomes NULL — a matched row takes ALL source values
     assert(out == Set((1L, "a", 10), (2L, null, 99), (3L, "c", 30)))
+    // self-join lineage (the usual CDC case): change batch DERIVED from
+    // the target — dataset-accessor columns would be rejected as
+    // ambiguous here; alias-qualified resolution must succeed
+    val derived = target.filter(col("id") === 2L)
+      .select(col("id"), col("v"), (col("n") + 100).as("n"))
+    val out2 = graft.operators.Merge.upsert(target, derived, "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[Int]("n"))).toSet
+    assert(out2 == Set((1L, "a", 10), (2L, "b", 120)))
   }
 
   test("Layout.zValue interleaves bits; clusterByZ gives files tight z-ranges") {
@@ -283,5 +291,52 @@ class OperatorsSpec extends SparkSpec {
       dim = 2, nPlanes = 4, threshold = 0.99).count() == 1)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"operators leaked persisted RDDs: $leaked")
+  }
+
+  test("bloom semi-join is row-identical to the plain semi-join") {
+    import spark.implicits._
+    // negative, zero, and wide-magnitude keys; dup keys on both sides
+    val big = Seq(-9999999999L, -7L, -7L, 0L, 1L, 5L, 5L, 42L, 1L << 60, 77L)
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val small = Seq(-7L, 0L, 42L, 1L << 60, 123456L, 123456L).toDF("sk")
+    val expected = big.join(small.distinct(), col("k") === col("sk"), "left_semi")
+      .collect().toSet
+    val got = Joins.bloomSemiJoin(big, "k", small, "sk", mBits = 1024, numHashes = 3)
+      .collect().toSet
+    assert(got == expected && expected.size == 5, s"got $got")
+  }
+
+  test("bloom semi-join with an empty small side returns nothing") {
+    import spark.implicits._
+    val big = (1 to 10).map(i => (i.toLong, i)).toDF("k", "v")
+    val small = Seq.empty[Long].toDF("sk")
+    assert(Joins.bloomSemiJoin(big, "k", small, "sk").count() == 0)
+  }
+
+  test("bloom anti-join is row-identical to the plain anti-join") {
+    import spark.implicits._
+    val big = Seq(-9999999999L, -7L, -7L, 0L, 1L, 5L, 5L, 42L, 1L << 60, 77L)
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val small = Seq(-7L, 0L, 42L, 1L << 60, 123456L).toDF("sk")
+    val expected = big.join(small.distinct(), col("k") === col("sk"), "left_anti")
+      .collect().toSet
+    val got = Joins.bloomAntiJoin(big, "k", small, "sk", mBits = 1024, numHashes = 3)
+      .collect().toSet
+    assert(got == expected && expected.size == 5, s"got $got")
+    // empty small side: anti join keeps everything
+    val none = Seq.empty[Long].toDF("sk")
+    assert(Joins.bloomAntiJoin(big, "k", none, "sk").count() == big.count())
+  }
+
+  test("bloom probe side plans as broadcast-hash, not nested-loop") {
+    import spark.implicits._
+    val big = (1 to 100).map(i => (i.toLong, i)).toDF("k", "v")
+    val small = Seq(3L, 5L, 7L).toDF("sk")
+    val df = Joins.bloomSemiJoin(big, "k", small, "sk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bloom row must join via BHJ on the constant key, got:\n$plan")
   }
 }

@@ -126,4 +126,27 @@ class TextFunctionsSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(kernel.toSeq == declarative.toSeq)
   }
+
+  test("gopherVerdict fires each rule with first-match precedence") {
+    import spark.implicits._
+    val mid = (1 to 20).map(_ => "abcd").mkString(" ") // nw=20, mwl=4.0
+    val docs = Seq(
+      (1L, "tiny doc"),                                   // too_short
+      (2L, (1 to 99).map(_ => "okay").mkString(" ")),     // too_long (nw=99)
+      (3L, mid),                                          // word_len (mwl 4.0 < 4.3)
+      (4L, (1 to 20).map(_ => "ab3d!").mkString(" ")),    // word_len fires before symbols
+      (5L, (1 to 20).map(i => if (i % 2 == 0) "abcd" else "abcde").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.gopherVerdict(col("text"),
+          graft.functions.TextFunctions.words(col("text"))).as("r"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("too_short", "too_long", "word_len", "word_len", "pass"), got)
+    // symbols branch: in-band length/word-len but non-alpha chars
+    val sym = (1 to 20).map(i => if (i % 2 == 0) "ab3d" else "abcde").mkString(" ")
+    val r = Seq((1L, sym)).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.gopherVerdict(col("text"),
+        graft.functions.TextFunctions.words(col("text")))).collect()(0).getString(0)
+    assert(r == "symbols", r)
+  }
 }

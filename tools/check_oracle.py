@@ -93,6 +93,13 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = 0
+    # a query that THREW in Verify writes no result dir but still has an
+    # oracle entry — count it as a failure, not a silent shrink of the
+    # total (this hid a broken q125 behind "134 pass, 0 fail")
+    for name in sorted(set(oracles) - set(names)):
+        print(f"FAIL {name}: no result written (query threw in Verify "
+              "— grep the Verify log for '[verify] {name} failed')")
+        n_fail += 1
     for name in names:
         spark_df = con.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
@@ -137,7 +144,8 @@ def main():
         else:
             print(f"PASS {name} ({len(a)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    total = len(names) + len(set(oracles) - set(names))
+    print(f"\n{n_pass} pass, {n_fail} fail, {total} total")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
