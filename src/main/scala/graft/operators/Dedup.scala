@@ -206,6 +206,41 @@ object Dedup {
     Materialize.spillRelease(pairs, hashed)
   }
 
+  /** Incremental MinHash-LSH dedup: near-duplicate pairs between a NEW
+    * batch and an EXISTING corpus — the "is today's crawl already in
+    * the index?" pass of continuous ingestion. Same signature/banding
+    * machinery as [[minhashLshPairs]], but the band join is batch ×
+    * corpus instead of a self-join, so the (small) batch side drives
+    * the probe and within-corpus and within-batch pairs are never
+    * generated. At cluster scale the corpus band table is the
+    * precomputed index (bucketed on (band, key) and reused across
+    * batches); only the batch side recomputes per ingest.
+    *
+    * Returns (batch_id, corpus_id, jac) with jac ≥ threshold.
+    */
+  def minhashLshPairsAgainst(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 48, bands: Int = 12): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val hc = minhashSignatures(corpus, idCol, textCol, numHashes).persist()
+    val hb = minhashSignatures(batch, idCol, textCol, numHashes).persist()
+    def bandsOf(h: DataFrame, as: String) = h.select(
+      col("id").as(as),
+      posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+    val cand = bandsOf(hb, "batch_id")
+      .join(bandsOf(hc, "corpus_id"), Seq("band", "key"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+    val pairs = cand
+      .join(hb.select(col("id").as("batch_id"), col("hset").as("h_b")), Seq("batch_id"))
+      .join(hc.select(col("id").as("corpus_id"), col("hset").as("h_c")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        jaccardFast(col("h_b"), col("h_c")).as("jac"))
+      .filter(col("jac") >= threshold)
+    Materialize.spillRelease(pairs, hb, hc)
+  }
+
   /** Connected components over near-duplicate pairs: every doc gets the
     * min doc-id of its component as `cluster_id` — the step that turns
     * pairwise discovery ([[minhashLshPairs]] etc.) into actionable

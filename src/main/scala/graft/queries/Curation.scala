@@ -250,7 +250,154 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Incremental dedup: does today's batch (doc_id % 10 = 7) already
+    * exist (near-dup) in the corpus index (the rest)? Batch×corpus
+    * banded MinHash join via [[graft.operators.Dedup.minhashLshPairsAgainst]]
+    * — within-corpus and within-batch pairs are never generated, and at
+    * cluster scale the corpus band table is a precomputed bucketed
+    * index reused across ingests.
+    */
+  private val q146IncrementalDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Dedup.minhashLshPairsAgainst(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", threshold = 0.7)
+      .select(col("batch_id"), col("corpus_id"), round(col("jac"), 6).as("jac"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  /** Product-quantization encode (IVF-PQ's storage half): 64-dim
+    * embeddings → 8 subspaces × 8 dims; codebook = the subvectors of
+    * vectors 0..15 (a deterministic "trained" codebook — swapping in
+    * k-means centroids keeps the identical plan); code = argmin-distance
+    * centroid per subspace, tie → lowest code id via lexicographic
+    * struct min. Centroids broadcast; distances are in-row folds;
+    * reconstruction error aggregates in DECIMAL. The 16× compression
+    * pass behind billion-vector ANN serving.
+    */
+  private val q147PqEncode: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+    val sub = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"), col("e"))
+      .select(col("vec_id"), col("s"), slice(col("e"), col("s") * 8 + 1, lit(8)).as("v"))
+    val cents = sub.filter(col("vec_id") < 16)
+      .select(col("s"), col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    val dist = sub.join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cid"),
+        aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+    dist.groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("s"),
+        col("m.cid").as("code"), col("m.d2").as("err"))
+      .groupBy("vec_id")
+      .agg(
+        sort_array(collect_list(struct(col("s"), col("code")))).as("sc"),
+        sum(col("err").cast(DecimalType(25, 12))).as("errsum"))
+      .select(col("vec_id"),
+        mdHash(concat_ws(",", transform(col("sc"), x => x.getField("code").cast("string"))))
+          .as("code_hash"),
+        round(col("errsum").cast(DoubleType), 6).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  /** Approximate-quantile sketch accounting (the GK/KLL category):
+    * per-group approx p50/p90 next to the exact percentiles, with
+    * error-bound booleans the oracle asserts — the q07 pattern applied
+    * to quantile sketches. At 100 TB the approx path is the only
+    * viable one (exact percentile is a full sort per group); this query
+    * pins its accuracy contract.
+    */
+  private val q148QuantileSketch: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_exact"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_approx"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p90_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <= lit(0.05) * col("p50_exact"))
+          .as("p50_within_5pct"),
+        (abs(col("p90_approx") - col("p90_exact")) <= lit(0.05) * col("p90_exact"))
+          .as("p90_within_5pct"))
+      .orderBy("l_returnflag")
+
+  /** Corpus-driven stopword discovery: words whose document frequency
+    * exceeds 60% of the corpus — the data-dependent stopword list that
+    * TF-IDF/BM25 pipelines build instead of hardcoding one. Distinct
+    * per-doc tokens → one DF count → broadcast corpus size.
+    */
+  private val q149StopwordDiscovery: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"), explode(array_distinct(words(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df").cast(DoubleType) / col("n_docs").cast(DoubleType) >= 0.6)
+      .select(col("word"), col("df"),
+        round(col("df").cast(DoubleType) / col("n_docs").cast(DoubleType), 6).as("df_ratio"))
+      .orderBy(col("df").desc, col("word"))
+  }
+
+  /** Causal-LM training-example construction: non-overlapping 16-token
+    * context windows with one-position-shifted labels (input = tokens
+    * [i, i+16), label = tokens [i+1, i+16]) — the final tensorization
+    * step after packing. In-row generator, map-only; window contents
+    * are hash-verified.
+    */
+  private val q150NextTokenPairs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 17)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 16, lit(16))).as("st"))
+      .select(col("doc_id"),
+        ((col("st") - 1) / lit(16)).cast("int").as("win_idx"),
+        mdHash(concat_ws(" ", slice(col("w"), col("st"), lit(16)))).as("input_hash"),
+        mdHash(concat_ws(" ", slice(col("w"), col("st") + 1, lit(16)))).as("label_hash"))
+      .orderBy("doc_id", "win_idx")
+
+  /** Zipf-slope estimate over the top-200 vocabulary: OLS fit of
+    * ln(freq) on ln(rank), all sums in DECIMAL so the tiny regression
+    * is partition-order independent. The corpus-health statistic that
+    * flags template/boilerplate corpora (slope far from −1).
+    */
+  private val q151ZipfSlope: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(200)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("word"))))
+    val dec = DecimalType(25, 12)
+    val sums = ranked.select(
+        log(col("rank").cast(DoubleType)).as("x"), log(col("n").cast(DoubleType)).as("y"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("k"),
+        sum(col("x").cast(dec)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(dec)).cast(DoubleType).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast(DoubleType).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast(DoubleType).as("sxx"))
+    sums.select(
+      col("k").cast("long").as("n_terms"),
+      round((col("k") * col("sxy") - col("sx") * col("sy")) /
+        (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+        (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("k"), 6)
+        .as("intercept"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q146_incremental_dedup" -> q146IncrementalDedup,
+    "q147_pq_encode" -> q147PqEncode,
+    "q148_quantile_sketch" -> q148QuantileSketch,
+    "q149_stopword_discovery" -> q149StopwordDiscovery,
+    "q150_next_token_pairs" -> q150NextTokenPairs,
+    "q151_zipf_slope" -> q151ZipfSlope,
     "q135_chunk_overlap" -> q135ChunkOverlap,
     "q136_weighted_sample" -> q136WeightedSample,
     "q137_bigram_lm" -> q137BigramLm,
@@ -272,6 +419,89 @@ object Curation {
       |         / (length(text)::DOUBLE + 1.0)) * 0.3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q146_incremental_dedup" ->
+      """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |    for i in range(1, greatest(len(w) - 2, 1) + 1)]) s FROM docs),
+        |sig AS (SELECT doc_id, s,
+        |    [list_min(list_transform(s, x ->
+        |      ('0x' || substr(md5(x), 1, 15))::BIGINT
+        |        + i * ('0x' || substr(md5(x), 16, 12))::BIGINT))
+        |      for i in range(0, 48)] sig
+        |  FROM sh),
+        |hs AS (SELECT doc_id,
+        |    list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) hh FROM sh),
+        |bands AS (SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') bkey
+        |  FROM sig, (SELECT unnest(range(0, 12)) b) bs),
+        |cand AS (SELECT DISTINCT a.doc_id batch_id, c.doc_id corpus_id
+        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey
+        |  WHERE a.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+        |pairs AS (SELECT batch_id, corpus_id,
+        |    len(list_intersect(x.hh, y.hh))::DOUBLE /
+        |      (len(x.hh)::DOUBLE + len(y.hh)::DOUBLE
+        |        - len(list_intersect(x.hh, y.hh))::DOUBLE) jac
+        |  FROM cand JOIN hs x ON x.doc_id = batch_id JOIN hs y ON y.doc_id = corpus_id)
+        |SELECT batch_id, corpus_id, round(jac, 6) AS jac FROM pairs
+        |WHERE jac >= 0.7 ORDER BY batch_id, corpus_id""".stripMargin,
+    "q147_pq_encode" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+        |sub AS (SELECT vec_id, s, e[s*8+1 : s*8+8] AS sv
+        |  FROM v, (SELECT unnest(range(0, 8)) s) ss),
+        |cents AS (SELECT s, vec_id::INT cid, sv c FROM sub WHERE vec_id < 16),
+        |dist AS (SELECT t.vec_id, t.s, c.cid,
+        |    list_sum([(t.sv[i] - c.c[i]) * (t.sv[i] - c.c[i]) for i in range(1, 9)]) d2
+        |  FROM sub t JOIN cents c USING (s)),
+        |best AS (SELECT vec_id, s, cid AS code, d2 AS err FROM (
+        |    SELECT vec_id, s, cid, d2,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) rn FROM dist)
+        |  WHERE rn = 1)
+        |SELECT vec_id,
+        |  ('0x' || substr(md5(string_agg(code::VARCHAR, ',' ORDER BY s)), 1, 15))::BIGINT
+        |    AS code_hash,
+        |  round(CAST(sum(CAST(err AS DECIMAL(25,12))) AS DOUBLE), 6) AS recon_err
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q148_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_exact,
+        |  TRUE AS p50_within_5pct, TRUE AS p90_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q149_stopword_discovery" ->
+      """WITH n AS (SELECT count(*) n_docs FROM documents),
+        |t AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) word
+        |  FROM documents),
+        |d AS (SELECT word, count(*) df FROM t GROUP BY word)
+        |SELECT word, df, round(df::DOUBLE / (SELECT n_docs FROM n), 6) AS df_ratio
+        |FROM d WHERE df::DOUBLE / (SELECT n_docs FROM n) >= 0.6
+        |ORDER BY df DESC, word""".stripMargin,
+    "q150_next_token_pairs" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 17),
+        |s AS (SELECT doc_id, w, unnest(range(1, len(w) - 16 + 1, 16)) st FROM t)
+        |SELECT doc_id, ((st - 1) // 16)::INT AS win_idx,
+        |  ('0x' || substr(md5(array_to_string(w[st : st+15], ' ')), 1, 15))::BIGINT
+        |    AS input_hash,
+        |  ('0x' || substr(md5(array_to_string(w[st+1 : st+16], ' ')), 1, 15))::BIGINT
+        |    AS label_hash
+        |FROM s ORDER BY doc_id, win_idx""".stripMargin,
+    "q151_zipf_slope" ->
+      """WITH w AS (SELECT unnest(str_split(text, ' ')) word FROM documents),
+        |v AS (SELECT word, count(*) n FROM w GROUP BY word
+        |  ORDER BY n DESC, word LIMIT 200),
+        |r AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) rank FROM v),
+        |xy AS (SELECT ln(rank::DOUBLE) x, ln(n::DOUBLE) y FROM r),
+        |sums AS (SELECT count(*)::DOUBLE k,
+        |    CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) sx,
+        |    CAST(sum(CAST(y AS DECIMAL(25,12))) AS DOUBLE) sy,
+        |    CAST(sum(CAST(x*y AS DECIMAL(25,12))) AS DOUBLE) sxy,
+        |    CAST(sum(CAST(x*x AS DECIMAL(25,12))) AS DOUBLE) sxx
+        |  FROM xy)
+        |SELECT k::BIGINT AS n_terms,
+        |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+        |    AS intercept
+        |FROM sums""".stripMargin,
     "q135_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
         |s AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 24)) AS st FROM t),

@@ -291,6 +291,54 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.unset(wKey)
   }
 
+  test("q135 chunking: generator expansion is map-only (no hash shuffle before the sort)") {
+    val p = plan("q135_chunk_overlap")
+    // chunk expansion must stay inside the scan stage: one Generate over
+    // the in-row sequence, no Exchange hashpartitioning anywhere (the
+    // only exchange is the final presentation sort's range partitioning)
+    assert(p.contains("Generate"), s"expected in-row generator:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$p")
+  }
+
+  test("q136 weighted sample: global top-200 is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q136_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES selection must fuse sort+limit:\n$p")
+  }
+
+  test("q137 bigram LM: vocab size broadcasts over the token stream") {
+    val df = SparkEntry.queries("q137_bigram_lm")(spark, sf)
+    df.collect()
+    val all = df.queryExecution.executedPlan.toString
+    assert(all.contains("BroadcastNestedLoopJoin") || all.contains("BroadcastHashJoin"),
+      s"one-row vocab aggregate must broadcast:\n$all")
+    assert(!all.contains("CartesianProduct"), s"no cartesian product:\n$all")
+  }
+
+  test("q142 LATERAL: decorrelated to a join+aggregate, no per-row re-execution") {
+    val df = SparkEntry.queries("q142_sql_lateral")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), s"lateral agg must plan as aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"decorrelation must avoid cartesian:\n$p")
+  }
+
+  test("q147 PQ encode: codebook broadcasts, distance eval never shuffles the vectors") {
+    val df = SparkEntry.queries("q147_pq_encode")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"centroid side must broadcast:\n$p")
+  }
+
+  test("q146 incremental dedup: band join is an equi-join (no nested loop over the corpus)") {
+    val df = SparkEntry.queries("q146_incremental_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"batch x corpus must join on (band, key):\n$p")
+  }
+
   test("whole-stage codegen covers the criteo expression chain") {
     // AQE hides codegen stages until the final plan: execute first
     val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)
