@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name prefixes (local
+    // iteration on a subset; the driver passes exactly two args)
+    val nameFilter: String => Boolean = args.lift(2) match {
+      case Some(pfx) => { val ps = pfx.split(","); n => ps.exists(n.startsWith) }
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors()))
     val spark = SparkSession.builder()
@@ -13,6 +19,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       // AQE coalescing under cached plans — see Bench.scala
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
@@ -21,7 +28,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // deterministic name order (hash-map order shifts when queries are
     // added, which once let an order-dependent session-state bug hide)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(t => nameFilter(t._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Bucketed-table materialization: the shuffle-elimination layout for
+  * repeated large-to-large joins.
+  *
+  * At 100 TB the dominant cost of `lineitem ⋈ orders` is shuffling both
+  * sides on the join key — every repetition of the join pays it again.
+  * Writing both tables bucketed (and sorted) by the key into `numBuckets`
+  * files per table makes the join key a *storage* property: Spark's scan
+  * reports `HashPartitioning(key, numBuckets)` as its output
+  * partitioning, the planner sees both sides already co-partitioned and
+  * co-sorted, and SortMergeJoin runs with **zero Exchange and zero
+  * Sort** — a pure per-bucket streaming merge. Pay the shuffle once at
+  * layout time, amortize it over every subsequent join/aggregation on
+  * the key (PlanQualitySpec pins the no-Exchange plan shape).
+  *
+  * The reference is an eager single-node engine with no layout concept
+  * (/root/reference/axolotls/dataframe.py — in-memory columns); this is
+  * the Spark-native answer to "how does the same join stay fast when the
+  * table stops fitting in memory".
+  */
+object Bucketing {
+
+  val Buckets = 8
+
+  /** Dir whose tables are currently materialized (JVM-wide; the
+    * catalog entries live in the SparkContext-shared external catalog,
+    * so a marker alone is insufficient after a context restart —
+    * [[ensure]] re-checks `tableExists`).
+    */
+  @volatile private var builtFor: Option[String] = None
+
+  /** Materialize `orders_b8` / `lineitem_b8`, bucketed+sorted by order
+    * key, if not already present for `dir`. Idempotent per (JVM, dir);
+    * `saveAsTable` goes to the session catalog's warehouse (the managed
+    * path — CTAS with `bucketBy` requires a table, not a bare path).
+    */
+  def ensure(spark: SparkSession, dir: String): Unit = synchronized {
+    // sort-aware bucketed scans are behind a default-off flag since
+    // Spark 3.1 (the planner otherwise re-sorts pre-sorted buckets);
+    // safe here because this writer guarantees the layout the flag
+    // assumes — exactly one sorted file per bucket (see repartition
+    // note below)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val present = builtFor.contains(dir) &&
+      spark.catalog.tableExists("orders_b8") &&
+      spark.catalog.tableExists("lineitem_b8")
+    if (!present) {
+      // a previous JVM's managed-table dirs survive in the warehouse
+      // while the in-memory catalog starts empty — clear stale paths
+      // or CTAS fails with LOCATION_ALREADY_EXISTS
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("orders_b8", "lineitem_b8").foreach { t =>
+        if (!spark.catalog.tableExists(t))
+          fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+      }
+      // repartition on the bucket key first: repartition's hash ==
+      // the bucket-id hash, so every write task holds exactly one
+      // bucket and emits ONE file per bucket — the single-file-per-
+      // bucket layout is what lets the scan expose its sort order and
+      // the join skip the Sort as well as the Exchange
+      import org.apache.spark.sql.functions.col
+      Tables.orders(spark, dir).repartition(Buckets, col("o_orderkey")).write
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable("orders_b8")
+      Tables.lineitem(spark, dir).repartition(Buckets, col("l_orderkey")).write
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable("lineitem_b8")
+      builtFor = Some(dir)
+    }
+  }
+}

@@ -339,4 +339,40 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"bloom row must join via BHJ on the constant key, got:\n$plan")
   }
+
+  test("BPE merge learning: argmax pair per round, greedy non-overlapping apply") {
+    import spark.implicits._
+    // 'aaab'×3 + 'ab'×2: round 1 counts (a,a)=6 > (a,b)=5 → merge aa;
+    // greedy left-to-right turns 'a a a b' into 'aa a b' (NOT 'a aa b');
+    // round 2 then counts (aa,a)=3, (a,b)=5 → merge ab.
+    val vocab = Seq(("aaab", 3L), ("ab", 2L)).toDF("word", "freq")
+    val m = graft.operators.Bpe.learnMerges(spark, vocab, rounds = 2)
+      .orderBy("round").collect()
+    assert(m.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq ==
+      Seq((1, "a", "a", "aa", 6L), (2, "a", "b", "ab", 5L)))
+  }
+
+  test("BPE apply merges non-overlapping runs: 'aaaa' -> 'aa aa'") {
+    import spark.implicits._
+    val vocab = Seq(("aaaa", 1L)).toDF("word", "freq")
+    // round 1: (a,a)=3 → merge aa applied greedily → ' aa aa ';
+    // round 2: pairs of the new repr: (aa,aa)=1
+    val m = graft.operators.Bpe.learnMerges(spark, vocab, rounds = 2)
+      .orderBy("round").collect()
+    assert(m(0).getString(3) == "aa" && m(0).getLong(4) == 3L)
+    assert(m(1).getString(1) == "aa" && m(1).getString(2) == "aa" && m(1).getLong(4) == 1L)
+  }
+
+  test("bucketed tables: ensure() is idempotent and the join is row-identical") {
+    val sf = "/root/testdata/sf0.001"
+    graft.sources.Bucketing.ensure(spark, sf)
+    graft.sources.Bucketing.ensure(spark, sf) // no rewrite, no throw
+    val bucketed = spark.table("orders_b8")
+      .join(spark.table("lineitem_b8"), col("o_orderkey") === col("l_orderkey"))
+      .count()
+    val plain = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(bucketed == plain && plain > 0)
+  }
 }

@@ -339,6 +339,37 @@ class PlanQualitySpec extends SparkSpec {
       s"batch x corpus must join on (band, key):\n$p")
   }
 
+  test("q152 bucketed join: co-partitioned, co-sorted scans — no Exchange, no Sort") {
+    import org.apache.spark.sql.functions.col
+    graft.sources.Bucketing.ensure(spark, sf)
+    val j = spark.table("orders_b8").hint("merge")
+      .join(spark.table("lineitem_b8"), col("o_orderkey") === col("l_orderkey"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge over buckets:\n$p")
+    assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    assert(!p.contains("+- Sort") && !p.contains("+- *Sort"),
+      s"sortBy'd buckets must not re-sort:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan must be bucket-aware:\n$p")
+  }
+
+  test("q155 temperature mix: share table broadcasts; only the rank window shuffles") {
+    val df = SparkEntry.queries("q155_temperature_mix")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"5-row share table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scalar total must broadcast, not cross:\n$p")
+  }
+
+  test("q157 AUC: rank window runs over the aggregated distinct-score table") {
+    val df = SparkEntry.queries("q157_rank_auc")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), s"scores must aggregate before ranking:\n$p")
+    val windows = p.linesIterator.count(_.contains("Window"))
+    assert(windows <= 2, s"expected one cumulative window over distinct scores:\n$p")
+  }
+
   test("whole-stage codegen covers the criteo expression chain") {
     // AQE hides codegen stages until the final plan: execute first
     val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)
