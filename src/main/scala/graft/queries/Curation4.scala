@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import graft.Q
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Round-4 wave 2: content-defined chunking, collocation mining,
+  * malformed-record ingest accounting, and cross-lingual bitext mining.
+  */
+object Curation4 {
+
+  import graft.functions.TextFunctions.{mdHash, words}
+
+  /** Content-defined chunking (the rsync/LBFS/dedup shape): a chunk
+    * boundary falls wherever the hash of the trailing 4-token window
+    * ≡ 0 (mod 16) — boundaries move with content, not offsets, so an
+    * insertion only re-chunks its neighborhood and chunk hashes stay
+    * stable for unchanged regions (what makes chunk-level dedup work
+    * on near-identical documents). Per-doc window for the running
+    * chunk index (doc-local, never corpus-wide); chunk fingerprints
+    * via one (doc, chunk) shuffle.
+    */
+  private val q161CdcChunks: Q = (s, d) => {
+    val windowed = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "tok")),
+        col("w"))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"),
+        concat_ws(" ", slice(col("w"), greatest(lit(1), col("pos0") - lit(2)),
+          least(col("pos0") + lit(1), lit(4)))).as("win"))
+    val flagged = windowed.withColumn("boundary",
+      (col("pos") === 1 || mdHash(col("win")) % 16 === 0).cast("int"))
+    val chunked = flagged.withColumn("chunk_idx",
+      sum(col("boundary")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    chunked.groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_tokens"),
+        mdHash(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tok))), p -> p.tok)"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** PMI collocation mining: pointwise mutual information of adjacent
+    * word pairs, ln(c_xy·N / (c_x·c_y)), over corpus-wide counts with a
+    * ≥5-occurrence noise floor; top 30 collocations. Three shuffled
+    * count aggregates (pair, unigram, corpus total — all map-side
+    * partial) + two broadcastable dimension joins; all-integer inputs
+    * to one final ln.
+    */
+  private val q162PmiCollocations: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val uni = docs.select(explode(col("w")).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("cx"))
+    val total = docs.select(explode(col("w")).as("x")).count().toDouble
+    val pairs = docs.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(w)), i -> struct(w[i-2] as x, w[i-1] as y))")).as("p"))
+      .select(col("p.x"), col("p.y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    val cy = uni.select(col("x").as("y"), col("cx").as("cy_"))
+    pairs.join(broadcast(uni), "x").join(broadcast(cy), "y")
+      .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy_").as("cy"),
+        round(log(col("cxy").cast(DoubleType) * lit(total)
+          / (col("cx").cast(DoubleType) * col("cy_").cast(DoubleType))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(30)
+  }
+
+  /** Malformed-record ingest accounting: a JSONL fixture where every
+    * doc_id ≡ 7 (mod 100) row is written truncated-corrupt, read back
+    * PERMISSIVE with a corrupt-record column — the real-world crawl
+    * ingest posture (never fail the job; quarantine and count). The
+    * fixture write and the read are both executor-parallel; the result
+    * is the good/bad accounting plus a checksum over surviving rows.
+    */
+  private val q163CorruptIngest: Q = (s, d) => {
+    val dir = s"/tmp/graft_jsonl_${new java.io.File(d).getName}"
+    Tables.documents(s, d)
+      .select(when(col("doc_id") % 100 === 7,
+          concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"n_chars\": oops")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .json(dir)
+      .agg(sum(when(col("_bad").isNull, 1).otherwise(0)).cast(LongType).as("n_good"),
+        sum(when(col("_bad").isNotNull, 1).otherwise(0)).cast(LongType).as("n_quarantined"),
+        sum(when(col("_bad").isNull, col("n_chars"))).as("chars_good"),
+        count_distinct(when(col("_bad").isNull, col("lang"))).as("langs_good"))
+  }
+
+  /** Cross-lingual bitext mining (the LASER/CCMatrix shape): for every
+    * non-English document, its nearest English document by embedding
+    * cosine — candidate translation pairs for MT training data. Rides
+    * [[Similarity.bruteForceTopK]]: English side scans, non-English
+    * side broadcasts, ranking through the native top-k operator; the
+    * documented scale path swaps the brute corpus scan for the IVF
+    * index (q77) with identical surface.
+    */
+  private val q164BitextMining: Q = (s, d) => {
+    val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val e = Tables.embeddings(s, d)
+      .join(langs, col("vec_id") === col("doc_id")).drop("doc_id")
+    val en = e.filter(col("lang") === "en").drop("lang", "label")
+    val non = e.filter(col("lang") =!= "en").drop("label")
+    val top1 = Similarity.bruteForceTopK(en, non.drop("lang"), "vec_id", "embedding", k = 1)
+    top1.join(non.select(col("vec_id").as("qid"), col("lang")), "qid")
+      .select(col("qid"), col("lang"), col("nid"), col("cos"))
+      .orderBy("qid")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q161_cdc_chunks" -> q161CdcChunks,
+    "q162_pmi_collocations" -> q162PmiCollocations,
+    "q163_corrupt_ingest" -> q163CorruptIngest,
+    "q164_bitext_mining" -> q164BitextMining)
+
+  val oracles: Map[String, String] = Map(
+    "q161_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)),
+        |flagged AS (SELECT doc_id, pos, w[pos] AS tok,
+        |    CASE WHEN pos = 1 OR
+        |      ('0x' || substr(md5(array_to_string(w[greatest(1, pos-3):pos], ' ')), 1, 15))::BIGINT % 16 = 0
+        |    THEN 1 ELSE 0 END AS boundary
+        |  FROM toks),
+        |chunked AS (SELECT doc_id, pos, tok,
+        |    CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk_idx
+        |  FROM flagged)
+        |SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+        |  ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15))::BIGINT AS chunk_hash
+        |FROM chunked GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q162_pmi_collocations" ->
+      """WITH docs AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT x, count(*) AS cx FROM
+        |  (SELECT unnest(w) AS x FROM docs) GROUP BY x),
+        |tot AS (SELECT count(*)::DOUBLE AS n FROM (SELECT unnest(w) FROM docs)),
+        |pairs AS (SELECT w[i-1] AS x, w[i] AS y, count(*) AS cxy
+        |  FROM (SELECT w, unnest(generate_series(2, len(w))) AS i FROM docs
+        |        WHERE len(w) >= 2)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.x, p.y, CAST(cxy AS BIGINT) AS cxy,
+        |  CAST(ux.cx AS BIGINT) AS cx, CAST(uy.cx AS BIGINT) AS cy,
+        |  round(ln(cxy::DOUBLE * (SELECT n FROM tot) / (ux.cx::DOUBLE * uy.cx::DOUBLE)), 6) AS pmi
+        |FROM pairs p JOIN uni ux ON p.x = ux.x JOIN uni uy ON p.y = uy.x
+        |ORDER BY pmi DESC, p.x, p.y LIMIT 30""".stripMargin,
+    "q163_corrupt_ingest" ->
+      """SELECT CAST(sum(CASE WHEN doc_id % 100 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN doc_id % 100 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |  CAST(sum(CASE WHEN doc_id % 100 <> 7 THEN n_chars END) AS BIGINT) AS chars_good,
+        |  count(DISTINCT CASE WHEN doc_id % 100 <> 7 THEN lang END) AS langs_good
+        |FROM documents""".stripMargin,
+    "q164_bitext_mining" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |    FROM embeddings),
+        |l AS (SELECT e.vec_id, v, lang FROM e JOIN documents d ON e.vec_id = d.doc_id),
+        |q AS (SELECT vec_id AS qid, v AS qv, lang FROM l WHERE lang <> 'en'),
+        |c AS (SELECT vec_id AS nid, v FROM l WHERE lang = 'en'),
+        |sims AS (SELECT qid, lang, nid,
+        |    list_dot_product(qv, v) / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS cos
+        |  FROM q JOIN c ON qid <> nid),
+        |ranked AS (SELECT qid, lang, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, nid ASC) AS rn
+        |  FROM sims)
+        |SELECT qid, lang, nid, cos FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin)
+}

@@ -370,6 +370,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(windows <= 2, s"expected one cumulative window over distinct scores:\n$p")
   }
 
+  test("AQE splits a skewed shuffle partition at runtime (skewed read in the final join)") {
+    // one key holds ~95% of the left side. With skew thresholds scaled
+    // down to fixture size, AQE must rewrite the SortMergeJoin into its
+    // skew-split form — the runtime half of the skew story (the salted
+    // join covers the planners-can't-see-it half).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8KB")
+    import org.apache.spark.sql.functions.{length, max}
+    import s2.implicits._
+    // payload must be INCOMPRESSIBLE: skew detection reads compressed
+    // map-output sizes, and a constant pad deflates below threshold
+    def noise(i: Long): String = {
+      var x = i
+      (1 to 12).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        java.lang.Long.toHexString(x)
+      }.mkString
+    }
+    val left = (1 to 60000).map(i => (if (i % 20 == 0) i.toLong else 1L, noise(i)))
+      .toDF("k", "payload")
+    val right = (1 to 3000).map(i => (i.toLong, i * 2)).toDF("rk", "rv")
+    val j = left.join(right, $"k" === $"rk").agg(max(length($"payload")))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skewed") || p.contains("skew=true"),
+      s"AQE skew split did not fire:\n$p")
+  }
+
   test("whole-stage codegen covers the criteo expression chain") {
     // AQE hides codegen stages until the final plan: execute first
     val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)

@@ -125,6 +125,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == expected)
   }
 
+  test("streaming near-dup gate: each micro-batch probes the corpus MinHash index") {
+    // the streaming face of q146: docs arrive as a stream; every
+    // micro-batch is checked against the (reusable) corpus index via
+    // minhashLshPairsAgainst inside foreachBatch, and only novel docs
+    // pass. Batch 1 carries a near-copy of corpus doc 1 (one word
+    // changed) + a novel doc; batch 2 a verbatim copy of doc 2.
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "spark shuffles hash partitions across the cluster during wide joins"),
+      (3L, "completely unrelated text about cooking pasta with garlic and oil"))
+      .toDF("doc_id", "text")
+    val dupes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val passed = new java.util.concurrent.atomic.AtomicLong(0)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hits = graft.operators.Dedup.minhashLshPairsAgainst(
+          corpus, batch, "doc_id", "text", threshold = 0.5)
+        hits.collect().foreach(r => dupes.add((r.getLong(0), r.getLong(1))))
+        val novel = batch.join(hits.select(col("batch_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        passed.addAndGet(novel.count())
+        ()
+      }
+      .start()
+    input.addData(
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (102L, "a brand new document mentioning gradient descent and tokenizers"))
+    q.processAllAvailable()
+    input.addData((103L, "spark shuffles hash partitions across the cluster during wide joins"))
+    q.processAllAvailable()
+    q.stop()
+    val hits = dupes.toArray(Array.empty[(Long, Long)]).toSet
+    assert(hits == Set((101L, 1L), (103L, 2L)), s"got $hits")
+    assert(passed.get() == 1, s"only the novel doc passes, got ${passed.get()}")
+  }
+
   test("transformWithState (RocksDB ValueState) carries running max across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
