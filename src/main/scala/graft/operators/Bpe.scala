@@ -37,7 +37,19 @@ object Bpe {
     * @param vocab columns (`word` string, `freq` long)
     * @return one row per merge: (round, lhs, rhs, merged, weight)
     */
-  def learnMerges(spark: SparkSession, vocab: DataFrame, rounds: Int): DataFrame = {
+  def learnMerges(spark: SparkSession, vocab: DataFrame, rounds: Int): DataFrame =
+    run(spark, vocab, rounds)._1
+
+  /** The encode side: the vocabulary after `rounds` learned merges —
+    * (word, freq, tokens array). Applying a FIXED merge list to new
+    * text is the same per-row replace chain (map-only, broadcastable
+    * merges); here the list is learned and applied in one pass.
+    */
+  def encodeVocab(spark: SparkSession, vocab: DataFrame, rounds: Int): DataFrame =
+    run(spark, vocab, rounds)._2
+      .select(col("word"), col("freq"), split(trim(col("repr")), "  ").as("tokens"))
+
+  private def run(spark: SparkSession, vocab: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // "  k  e  y  " — two-space separators (see class doc)
     var repr = vocab.select(col("word"), col("freq"),
@@ -59,6 +71,6 @@ object Bpe {
           concat(lit(" "), col("lhs"), col("rhs"), lit(" "))))
         .select("word", "freq", "repr")
     }
-    merges.result().reduce(_ unionAll _)
+    (merges.result().reduce(_ unionAll _), repr)
   }
 }

@@ -292,6 +292,17 @@ object Curation3 {
        |    replace(repr, ' '||b$r.lhs||'  '||b$r.rhs||' ', ' '||b$r.lhs||b$r.rhs||' ') AS repr
        |  FROM r${r - 1}, b$r)""".stripMargin
 
+  /** The 6-round BPE CTE chain (v → r0 → … → b6/r6), shared by the
+    * q153 (learn) and q165 (encode) oracles.
+    */
+  private[queries] val bpeChain6: String =
+    s"""WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |r0 AS (SELECT word, freq,
+       |    '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS repr FROM v),
+       |""".stripMargin + (1 to 6).map(r => bpeRound(s"r${r - 1}", r)).mkString(",\n")
+
   val oracles: Map[String, String] = Map(
     "q152_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
@@ -301,13 +312,7 @@ object Curation3 {
         |WHERE l_returnflag = 'R'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q153_bpe_merges" ->
-      (s"""WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY word),
-        |r0 AS (SELECT word, freq,
-        |    '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS repr FROM v),
-        |""".stripMargin
-        + (1 to 6).map(r => bpeRound(s"r${r - 1}", r)).mkString(",\n") +
+      (bpeChain6 +
         """
         |SELECT * FROM (
         |  SELECT 1 AS round, lhs, rhs, lhs||rhs AS merged, weight FROM b1

@@ -120,11 +120,69 @@ object Curation4 {
       .orderBy("qid")
   }
 
+  /** BPE encode: the corpus re-tokenized with the 6 learned merges
+    * (the apply half of q153's learn) — top-20 subword tokens by
+    * corpus frequency. Token stats ride the vocabulary table (|V|
+    * rows × freq weights), never re-touching the corpus.
+    */
+  private val q165BpeEncode: Q = (s, d) => {
+    val vocab = Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    graft.operators.Bpe.encodeVocab(s, vocab, rounds = 6)
+      .select(explode(col("tokens")).as("tok"), col("freq"))
+      .groupBy("tok").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20)
+  }
+
+  /** Bucket-pruned point lookup: an IN-filter on the bucket key scans
+    * only the matching buckets (`SelectedBucketsCount: 2 out of 8`,
+    * pinned in PlanQualitySpec) — at 100 TB a needle query reads 1/4
+    * of the files before row-group pruning even starts.
+    */
+  private val q166BucketPruning: Q = (s, d) => {
+    graft.sources.Bucketing.ensure(s, d)
+    s.table("lineitem_b8")
+      .filter(col("l_orderkey").isin(7L, 42L))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Incremental aggregate maintenance: fold a delta batch into a base
+    * aggregate without recomputing the corpus — base agg ⟗ delta agg,
+    * coalesced sums. The oracle recomputes from scratch, PROVING
+    * incremental == full. At 100 TB this is "fold in today's crawl":
+    * the full-outer merge shuffles |keys|, not |rows|; DECIMAL sums
+    * keep both paths bit-identical at any partitioning.
+    */
+  private val q167IncrementalAgg: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("v"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val base = agg(ev.filter(col("event_id") % 5 =!= 0))
+      .select(col("user_id"), col("event_type"), col("n").as("n_b"), col("sv").as("s_b"))
+    val delta = agg(ev.filter(col("event_id") % 5 === 0))
+      .select(col("user_id"), col("event_type"), col("n").as("n_d"), col("sv").as("s_d"))
+    base.join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+        round((coalesce(col("s_b"), lit(0).cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          + coalesce(col("s_d"), lit(0).cast(org.apache.spark.sql.types.DecimalType(30, 6))))
+          .cast(DoubleType), 6).as("sum_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "q161_cdc_chunks" -> q161CdcChunks,
     "q162_pmi_collocations" -> q162PmiCollocations,
     "q163_corrupt_ingest" -> q163CorruptIngest,
-    "q164_bitext_mining" -> q164BitextMining)
+    "q164_bitext_mining" -> q164BitextMining,
+    "q165_bpe_encode" -> q165BpeEncode,
+    "q166_bucket_pruning" -> q166BucketPruning,
+    "q167_incremental_agg" -> q167IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
     "q161_cdc_chunks" ->
@@ -163,6 +221,21 @@ object Curation4 {
         |  CAST(sum(CASE WHEN doc_id % 100 <> 7 THEN n_chars END) AS BIGINT) AS chars_good,
         |  count(DISTINCT CASE WHEN doc_id % 100 <> 7 THEN lang END) AS langs_good
         |FROM documents""".stripMargin,
+    "q165_bpe_encode" ->
+      (Curation3.bpeChain6 +
+        """
+        |SELECT tok, CAST(sum(freq) AS BIGINT) AS n
+        |FROM (SELECT freq, unnest(string_split(trim(repr), '  ')) AS tok FROM r6)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin),
+    "q166_bucket_pruning" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (7, 42)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q167_incremental_agg" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q164_bitext_mining" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),

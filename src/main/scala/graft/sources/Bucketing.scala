@@ -44,6 +44,11 @@ object Bucketing {
     // assumes — exactly one sorted file per bucket (see repartition
     // note below)
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // ... and DisableUnnecessaryBucketedScan would turn the bucketed
+    // scan off for non-join queries, which also forfeits bucket-filter
+    // pruning (point lookups reading 1/numBuckets of the files) — keep
+    // bucket-aware scans on for sessions that opted into this layout
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val present = builtFor.contains(dir) &&
       spark.catalog.tableExists("orders_b8") &&
       spark.catalog.tableExists("lineitem_b8")

@@ -404,6 +404,16 @@ class PlanQualitySpec extends SparkSpec {
       s"AQE skew split did not fire:\n$p")
   }
 
+  test("q166 bucket pruning: the IN-filter scan reads only matching buckets") {
+    val df = SparkEntry.queries("q166_bucket_pruning")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"scan must be bucket-aware:\n$p")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"IN-filter must prune buckets (${m.get.matched}):\n$p")
+  }
+
   test("whole-stage codegen covers the criteo expression chain") {
     // AQE hides codegen stages until the final plan: execute first
     val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)
