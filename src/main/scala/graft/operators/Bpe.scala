@@ -52,8 +52,16 @@ object Bpe {
   private def run(spark: SparkSession, vocab: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // "  k  e  y  " — two-space separators (see class doc)
+    // Each round's repr is persisted so round r+1 (and the argmax rows)
+    // derive from the cached |V|-row table instead of re-deriving the
+    // whole chain from the corpus — without this, round r costs r
+    // corpus scans and the loop goes quadratic. Caches are released
+    // through the spillRelease ending below (block manager left clean).
     var repr = vocab.select(col("word"), col("freq"),
       concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("repr"))
+      .persist()
+    val cached = Seq.newBuilder[DataFrame]
+    cached += repr
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val toks = repr.select(col("freq"), split(trim(col("repr")), "  ").as("t"))
@@ -70,7 +78,15 @@ object Bpe {
           concat(lit(" "), col("lhs"), lit("  "), col("rhs"), lit(" ")),
           concat(lit(" "), col("lhs"), col("rhs"), lit(" "))))
         .select("word", "freq", "repr")
+        .persist()
+      cached += repr
     }
-    (merges.result().reduce(_ unionAll _), repr)
+    val all = cached.result()
+    // spill the final repr FIRST (fills the round caches in one pass),
+    // then the merge rows (served from those caches); the second spill
+    // releases every cached round — block manager left clean
+    val reprOut = Materialize.spillRelease(repr)
+    val mergesOut = Materialize.spillRelease(merges.result().reduce(_ unionAll _), all: _*)
+    (mergesOut, reprOut)
   }
 }

@@ -175,7 +175,59 @@ object Curation4 {
       .orderBy("user_id", "event_type")
   }
 
+  /** Robust outlier gate: per-language median and MAD (median absolute
+    * deviation) of document length, plus the count beyond 3·MAD — the
+    * outlier filter that survives heavy-tailed corpora where mean/σ
+    * gates saturate. Exact interpolated percentiles here because the
+    * oracle demands bit-exactness; the 100 TB path swaps in
+    * `approx_percentile` (accuracy-bounded, mergeable — q148 pattern)
+    * with the same two-pass shape: group percentile → broadcast back →
+    * deviation percentile.
+    */
+  private val q168RobustStats: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+    val med = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"), count(lit(1)).as("n_docs"))
+    val dev = docs.join(broadcast(med), "lang")
+      .select(col("lang"), col("n_chars"),
+        abs(col("n_chars").cast(DoubleType) - col("med")).as("dev"), col("med"))
+    val mad = dev.groupBy("lang").agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "lang")
+      .groupBy("lang")
+      .agg(max(col("med")).as("median_chars"), max(col("mad")).as("mad_chars"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("lang")
+  }
+
+  /** Per-user exponential moving average of event values (α = 0.3,
+    * S₁ = x₁ init): the closed form Σ wᵢ·xᵢ with
+    * wᵢ = (1−α)^(n−1) for i=1, α·(1−α)^(n−i) otherwise — one user-local
+    * rank window + one shuffled sum instead of an inherently-sequential
+    * recurrence; DECIMAL(25,12) term casts make the sum
+    * partition-order independent. The sequential-looking statistic
+    * that DOES distribute.
+    */
+  private val q169Ewma: Q = (s, d) => {
+    val a = 0.3
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    ev.select(col("user_id"), col("n"),
+        (col("value") * when(col("r") === 1, pow(lit(1.0 - a), col("n") - lit(1)))
+          .otherwise(lit(a) * pow(lit(1.0 - a), col("n") - col("r"))))
+          .cast(org.apache.spark.sql.types.DecimalType(25, 12)).as("term"))
+      .groupBy("user_id")
+      .agg(max(col("n")).cast("long").as("n_events"),
+        round(sum(col("term")).cast(DoubleType), 6).as("ewma"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q168_robust_stats" -> q168RobustStats,
+    "q169_ewma" -> q169Ewma,
     "q161_cdc_chunks" -> q161CdcChunks,
     "q162_pmi_collocations" -> q162PmiCollocations,
     "q163_corrupt_ingest" -> q163CorruptIngest,
@@ -185,6 +237,26 @@ object Curation4 {
     "q167_incremental_agg" -> q167IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
+    "q168_robust_stats" ->
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang),
+        |dev AS (SELECT d.lang, abs(d.n_chars::DOUBLE - m.med) AS dev, m.med
+        |  FROM documents d JOIN med m USING (lang)),
+        |mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY lang)
+        |SELECT dev.lang, max(dev.med) AS median_chars, max(mad.mad) AS mad_chars,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN dev.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (lang)
+        |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin,
+    "q169_ewma" ->
+      """WITH ranked AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(value * CASE WHEN r = 1 THEN pow(0.7, n - 1)
+        |    ELSE 0.3 * pow(0.7, n - r) END AS DECIMAL(25,12))) AS DOUBLE), 6) AS ewma
+        |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q161_cdc_chunks" ->
       """WITH toks AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
         |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)),
