@@ -225,8 +225,25 @@ object Curation4 {
       .orderBy("user_id")
   }
 
+  /** Shuffle-free aggregation on the bucketed layout: `groupBy` on the
+    * bucket key is satisfied by the scan's HashPartitioning, so the
+    * aggregate runs with no hash Exchange at all (PlanQualitySpec pins
+    * it — only the output sort exchanges). The second dividend of the
+    * pay-once layout: every keyed aggregate, not just joins.
+    */
+  private val q170BucketedAgg: Q = (s, d) => {
+    graft.sources.Bucketing.ensure(s, d)
+    s.table("lineitem_b8")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.GraftFunctions.dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("n_items") >= 5)
+      .orderBy("l_orderkey")
+  }
+
   val defs: Map[String, Q] = Map(
     "q168_robust_stats" -> q168RobustStats,
+    "q170_bucketed_agg" -> q170BucketedAgg,
     "q169_ewma" -> q169Ewma,
     "q161_cdc_chunks" -> q161CdcChunks,
     "q162_pmi_collocations" -> q162PmiCollocations,
@@ -237,6 +254,11 @@ object Curation4 {
     "q167_incremental_agg" -> q167IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
+    "q170_bucketed_agg" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 5
+        |ORDER BY l_orderkey""".stripMargin,
     "q168_robust_stats" ->
       """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
         |  FROM documents GROUP BY lang),

@@ -414,6 +414,15 @@ class PlanQualitySpec extends SparkSpec {
       s"IN-filter must prune buckets (${m.get.matched}):\n$p")
   }
 
+  test("q170 bucketed agg: groupBy on the bucket key needs no hash Exchange") {
+    val df = SparkEntry.queries("q170_bucketed_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), s"expected hash aggregate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed distribution must satisfy the aggregate (only the sort may exchange):\n$p")
+  }
+
   test("whole-stage codegen covers the criteo expression chain") {
     // AQE hides codegen stages until the final plan: execute first
     val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)

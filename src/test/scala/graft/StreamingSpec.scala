@@ -165,6 +165,45 @@ class StreamingSpec extends SparkSpec {
     assert(passed.get() == 1, s"only the novel doc passes, got ${passed.get()}")
   }
 
+  test("streaming upsert: foreachBatch folds each micro-batch into a keyed table via Merge.upsert") {
+    // the streaming face of q167 incremental maintenance: a per-user
+    // running (n, total) table upserted per batch. Row-provenance
+    // semantics (a matched row takes the source row wholesale) make
+    // the fold idempotent-per-key; the table lives in parquet between
+    // batches like a real silver table would.
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    Seq.empty[(Long, Long, Double)].toDF("user_id", "n", "total")
+      .write.mode("overwrite").parquet(dir)
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("user_id", "value").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val target = spark.read.parquet(dir)
+        val delta = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("bn"), sum($"value").as("bt"))
+          .join(target, Seq("user_id"), "left")
+          .select($"user_id", ($"bn" + coalesce($"n", lit(0L))).as("n"),
+            ($"bt" + coalesce($"total", lit(0.0))).as("total"))
+        val merged = graft.operators.Merge.upsert(target, delta, "user_id")
+        // write-then-swap: never overwrite the file being read
+        val tmp = dir + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(dir)
+        ()
+      }
+      .start()
+    input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+    q.processAllAvailable()
+    input.addData((1L, 2.0), (3L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(dir).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 3L, 17.0), (2L, 1L, 1.0), (3L, 1L, 7.0)), s"got $rows")
+  }
+
   test("transformWithState (RocksDB ValueState) carries running max across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
