@@ -44,4 +44,33 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Compact a small-file parquet directory to ~`targetBytes` files.
+    *
+    * Streaming sinks and per-batch upserts accrete files; at 100 TB a
+    * million 1 MB files turn every scan into a listing+open storm and
+    * starve the scheduler with micro-tasks. Standard maintenance pass:
+    * size the output file count from the CURRENT on-disk bytes (a
+    * FileSystem listing — no data read), rewrite once, swap. Returns
+    * the new file count. Coalesce, not repartition: no shuffle — each
+    * output task concatenates input splits.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
+    spark.read.parquet(dir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: the rewritten copy replaces the original atomically-enough
+    // for a maintenance window (a real lakehouse would commit via its
+    // table format's metadata transaction instead)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    fs.listStatus(path).count(f => f.getPath.getName.endsWith(".parquet")).toLong
+  }
 }

@@ -241,9 +241,54 @@ object Curation4 {
       .orderBy("l_orderkey")
   }
 
+  /** Exact-substring scrubbing (the strong form of "Deduplicating
+    * Training Data Makes Language Models Better"): every 8-token span
+    * occurring in ≥2 distinct documents is REMOVED from all of them,
+    * and the scrubbed text is re-emitted (here as count + content
+    * hash). q101 measures duplicated spans; this one acts on them.
+    *
+    * Shape: in-row window hashes (map-only) → one |spans| shuffle for
+    * the ≥2-distinct-docs test (constant-memory min≠max, skew-proof) →
+    * hash equi-join back → 8× coverage explode + distinct → anti-join
+    * on (doc, pos) → per-doc ordered rebuild. Linear in corpus tokens;
+    * nothing corpus-wide except hash-partitioned aggregates.
+    */
+  private val q172SpanScrub: Q = (s, d) => {
+    val k = 8
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val wins = docs.filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"p -> struct(p as p, array_join(slice(w, p, $k), ' ') as win))")).as("s"))
+      .select(col("doc_id"), col("s.p").as("p"), mdHash(col("s.win")).as("h"))
+    val dup = wins.groupBy("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    val covered = wins.join(dup, "h")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(k - 1))).as("cpos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"), size(col("w")).as("n_tokens"),
+        posexplode(col("w")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), col("n_tokens"), (col("pos0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered,
+        toks("doc_id") === covered("doc_id") && toks("pos") === covered("cpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")).as("scrubbed"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(words(col("text"))).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("scrubbed"), lit(""))).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q168_robust_stats" -> q168RobustStats,
     "q170_bucketed_agg" -> q170BucketedAgg,
+    "q172_span_scrub" -> q172SpanScrub,
     "q169_ewma" -> q169Ewma,
     "q161_cdc_chunks" -> q161CdcChunks,
     "q162_pmi_collocations" -> q162PmiCollocations,
@@ -254,6 +299,29 @@ object Curation4 {
     "q167_incremental_agg" -> q167IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
+    "q172_span_scrub" ->
+      """WITH docs AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |wins AS (SELECT doc_id, p,
+        |    ('0x' || substr(md5(array_to_string(w[p:p+7], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS p
+        |        FROM docs WHERE len(w) >= 8)),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+        |covered AS (SELECT DISTINCT doc_id, cpos
+        |  FROM (SELECT w.doc_id, unnest(generate_series(w.p, w.p + 7)) AS cpos
+        |        FROM wins w JOIN dup USING (h))),
+        |toks AS (SELECT doc_id, len(w) AS n_tokens, pos, w[pos] AS tok
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM docs)),
+        |kept AS (SELECT t.doc_id, count(*) AS n_kept,
+        |    string_agg(t.tok, ' ' ORDER BY t.pos) AS scrubbed
+        |  FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |    WHERE c.doc_id = t.doc_id AND c.cpos = t.pos)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.w) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(k.scrubbed, '')) AS scrub_md5
+        |FROM docs d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q170_bucketed_agg" ->
       """SELECT l_orderkey, count(*) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -340,6 +340,21 @@ class OperatorsSpec extends SparkSpec {
       s"bloom row must join via BHJ on the constant key, got:\n$plan")
   }
 
+  test("compact: small-file dir rewrites to the byte-sized file count, rows intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // 64 tiny files
+    (1 to 2048).map(i => (i.toLong, s"row-$i")).toDF("id", "v")
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val after = graft.operators.Layout.compact(spark, dir, targetBytes = 64L << 20)
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() == 2048)
+    assert(rows.agg(sum($"id")).head.getLong(0) == 2048L * 2049 / 2)
+  }
+
   test("BPE merge learning: argmax pair per round, greedy non-overlapping apply") {
     import spark.implicits._
     // 'aaab'×3 + 'ab'×2: round 1 counts (a,a)=6 > (a,b)=5 → merge aa;
