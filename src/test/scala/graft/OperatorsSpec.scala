@@ -378,6 +378,29 @@ class OperatorsSpec extends SparkSpec {
     assert(m(1).getString(1) == "aa" && m(1).getString(2) == "aa" && m(1).getLong(4) == 1L)
   }
 
+  test("BPE applyMerges agrees with encodeVocab and tokenizes unseen text") {
+    import spark.implicits._
+    val corpus = Seq(("low lower lowest low low", 1)).toDF("text", "x")
+    val vocab = corpus.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = graft.operators.Bpe.learnMerges(spark, vocab, rounds = 3)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // encode path == apply path on the training vocabulary
+    val enc = graft.operators.Bpe.encodeVocab(spark, vocab, rounds = 3)
+      .select(col("word"), col("tokens")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val applied = graft.operators.Bpe.applyMerges(
+        vocab.select(col("word").as("text")), "text", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(enc == applied, s"encode $enc vs apply $applied")
+    // unseen text tokenizes with the same learned units
+    val novel = graft.operators.Bpe.applyMerges(
+        Seq("lowly").toDF("text"), "text", merges)
+      .collect().head.getSeq[String](1)
+    assert(novel.mkString("") == "lowly", s"lossless over characters: $novel")
+    assert(novel.length < "lowly".length, s"some merge must apply: $novel")
+  }
+
   test("bucketed tables: ensure() is idempotent and the join is row-identical") {
     val sf = "/root/testdata/sf0.001"
     graft.sources.Bucketing.ensure(spark, sf)
