@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -131,6 +131,53 @@ object Similarity {
     // search only within probed cells; final ranking through the native
     // top-k operator (partial heaps, survivor-only shuffle)
     val hits = probes.join(assigned, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotNative(col("e_q"), col("e_n")) /
+          sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
+      .withColumn("__cos_r", round(col("cos"), 9))
+    TopK.perGroup(hits, Seq("qid"), Seq(("__cos_r", true), ("nid", false)), k)
+      .drop("__cos_r")
+  }
+
+  /** Persist the IVF index as a CELL-PARTITIONED parquet table: one
+    * directory per coarse cell, holding the member vectors and their
+    * precomputed norms. Build once per corpus version; every
+    * subsequent search reads only its probed cells' directories.
+    */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dir: String, dim: Int = 64): Unit =
+    assignToCells(corpus, centroids, idCol, vecCol, dim)
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+
+  /** Search a persisted IVF index ([[buildIvfIndex]]): probe cells are
+    * computed per query against the broadcast centroids, the DISTINCT
+    * probe set (bounded by |centroids| — driver-safe) becomes an IN
+    * filter on the partition column, and the scan's directory pruning
+    * (`PartitionFilters`, pinned in PlanQualitySpec) means unprobed
+    * cells are never listed, opened, or read. At 100 TB this is the
+    * difference between touching nprobe/|cells| of the index and
+    * touching all of it — the layout IS the index.
+    */
+  def ivfTopKIndexed(spark: SparkSession, indexDir: String,
+      queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int, dim: Int = 64): DataFrame = {
+    ensureFunctions(queries)
+    val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol, dim).as("cv"))
+      .withColumn("nrm_c", normSqNative(col("cv")))
+    val q = queries.select(col(idCol).as("qid"), asDouble(vecCol, dim).as("e_q"))
+      .withColumn("nrm_q", normSqNative(col("e_q")))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(round(col("ccos"), 9).desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", dotNative(col("e_q"), col("cv")) / sqrt(col("nrm_q") * col("nrm_c")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("e_q"), col("nrm_q"), col("cid"))
+    val probedCells = probes.select("cid").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(indexDir)
+      .filter(col("cid").isin(probedCells.toIndexedSeq: _*))
+    val hits = probes.join(idx, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dotNative(col("e_q"), col("e_n")) /

@@ -218,7 +218,24 @@ object DedupSim {
       .orderBy("id_a", "id_b")
   }
 
+  /** q77's search against a PERSISTED cell-partitioned index: build
+    * once, probe with directory pruning (only probed cells' partitions
+    * are read — PartitionFilters pinned in PlanQualitySpec). Same
+    * result set as q77, same oracle.
+    */
+  private val q173IvfIndexed: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val dir = s"/tmp/graft_ivf_${new java.io.File(d).getName}"
+    Similarity.buildIvfIndex(e, e.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", dir)
+    Similarity.ivfTopKIndexed(s, dir, e.filter(col("vec_id") % 25 === 0),
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3, nprobe = 2)
+      .select("qid", "rank", "nid", "cos")
+      .orderBy("qid", "rank")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q173_ivf_indexed" -> q173IvfIndexed,
     "q112_semdedup" -> q112Semdedup,
     "q109_paragraph_dedup" -> q109ParagraphDedup,
     "q105_lsh_recall" -> q105LshRecall,
@@ -510,6 +527,35 @@ object DedupSim {
         |    row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, nid ASC) AS rank
         |  FROM sims)
         |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "q173_ivf_indexed" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |    FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (SELECT vec_id AS nid, v AS e_n, cid FROM (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |        sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)), 9) DESC,
+        |        c.cid ASC) rn
+        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS e_q FROM e WHERE vec_id % 25 = 0),
+        |probes AS (SELECT qid, e_q, cid FROM (
+        |  SELECT q.qid, q.e_q, c.cid,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY round(list_dot_product(q.e_q, c.cv) /
+        |        sqrt(list_dot_product(q.e_q, q.e_q) * list_dot_product(c.cv, c.cv)), 9) DESC,
+        |        c.cid ASC) rn
+        |  FROM q CROSS JOIN cent c) WHERE rn <= 2),
+        |hits AS (SELECT qid, nid,
+        |    list_dot_product(e_q, e_n) /
+        |      sqrt(list_dot_product(e_q, e_q) * list_dot_product(e_n, e_n)) AS cos
+        |  FROM probes JOIN assigned USING (cid) WHERE qid <> nid),
+        |ranked AS (SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(cos, 9) DESC, nid ASC) AS rank
+        |  FROM hits)
+        |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 3
         |ORDER BY qid, rank""".stripMargin,
     "q77_similarity_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

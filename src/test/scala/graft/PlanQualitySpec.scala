@@ -423,6 +423,14 @@ class PlanQualitySpec extends SparkSpec {
       s"bucketed distribution must satisfy the aggregate (only the sort may exchange):\n$p")
   }
 
+  test("q173 indexed IVF: probe scan prunes unprobed cell partitions") {
+    val df = SparkEntry.queries("q173_ivf_indexed")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cid#\\d+ IN \\(".r.findFirstIn(p).isDefined,
+      s"index scan must carry a cid IN partition filter:\n$p")
+  }
+
   test("whole-stage codegen covers the criteo expression chain") {
     // AQE hides codegen stages until the final plan: execute first
     val df = SparkEntry.queries("q00_criteo_pipeline")(spark, sf)
