@@ -357,6 +357,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("BPE merge learning: argmax pair per round, greedy non-overlapping apply") {
     import spark.implicits._
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     // 'aaab'×3 + 'ab'×2: round 1 counts (a,a)=6 > (a,b)=5 → merge aa;
     // greedy left-to-right turns 'a a a b' into 'aa a b' (NOT 'a aa b');
     // round 2 then counts (aa,a)=3, (a,b)=5 → merge ab.
@@ -365,6 +366,9 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("round").collect()
     assert(m.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq ==
       Seq((1, "a", "a", "aa", 6L), (2, "a", "b", "ab", 5L)))
+    // spillRelease ending: no round cache outlives the call
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"BPE leaked cached RDDs: $leaked")
   }
 
   test("BPE apply merges non-overlapping runs: 'aaaa' -> 'aa aa'") {

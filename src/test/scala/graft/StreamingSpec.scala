@@ -204,6 +204,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, 3L, 17.0), (2L, 1L, 1.0), (3L, 1L, 7.0)), s"got $rows")
   }
 
+  test("checkpoint restart: a second query resumes the file source without reprocessing") {
+    // the production continuity property: stop a stream, add data,
+    // restart from the SAME checkpoint — the source's committed offsets
+    // ensure already-processed files are not re-emitted
+    val sess = spark
+    import sess.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+        .parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add(r.getLong(0)))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    Seq(1L, 2L).toDF("id").write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq == Seq(1L, 2L))
+    Seq(3L).toDF("id").write.mode("append").parquet(srcDir)
+    runOnce()
+    val all = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+    assert(all == Seq(1L, 2L, 3L), s"restart must process ONLY the new file: $all")
+  }
+
   test("transformWithState (RocksDB ValueState) carries running max across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
