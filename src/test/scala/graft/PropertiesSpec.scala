@@ -87,4 +87,30 @@ class PropertiesSpec extends SparkSpec {
     // every row of the smaller corpus keeps its membership verdict
     assert(small == big.filter(_ <= 300), "growth must not flip earlier rows")
   }
+
+  test("CDC chunking partitions every document: chunk token counts sum to doc token count") {
+    val sf = "/root/testdata/sf0.001"
+    val chunks = SparkEntry.queries("q161_cdc_chunks")(spark, sf)
+      .groupBy("doc_id")
+      .agg(sum(col("n_tokens")).as("chunked"), count(lit(1)).as("n_chunks"))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val bad = chunks.join(docs, "doc_id")
+      .filter(col("chunked") =!= col("n") || col("n_chunks") < 1)
+      .count()
+    assert(bad == 0, "chunks must partition each doc exactly (no loss, no overlap)")
+  }
+
+  test("temperature mixture never selects more than the language's size, and flattens shares") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q155_temperature_mix")(spark, sf).collect()
+    rows.foreach { r =>
+      val (selected, nLang) = (r.getLong(1), r.getLong(2))
+      assert(selected <= nLang, s"${r.getString(0)}: selected $selected of $nLang")
+    }
+    // sqrt flattening: selected fraction of a small language >= of a big one
+    val fracs = rows.map(r => r.getLong(2) -> r.getLong(1).toDouble / r.getLong(2)).sortBy(_._1)
+    assert(fracs.head._2 >= fracs.last._2 - 1e-9,
+      s"smallest language must be sampled at >= the biggest one's rate: $fracs")
+  }
 }
