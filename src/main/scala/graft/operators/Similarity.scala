@@ -339,4 +339,33 @@ object Similarity {
     // see Materialize.spillRelease)
     Materialize.spillRelease(pairs, e)
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the k most-similar vectors that share its LSH bucket but sit at or
+    * below `maxCos` — semantically close enough to be informative,
+    * dissimilar enough to be true negatives. Same Σ bucket² join shape
+    * as [[lshNearDupPairs]] (the bucket IS the candidate generator —
+    * no corpus×corpus product), ranking through the native top-k
+    * operator, leak-free spillRelease exit.
+    */
+  def lshHardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, maxCos: Double, k: Int): DataFrame = {
+    ensureFunctions(df)
+    val e = df.select(col(idCol).as("id"), asDouble(vecCol, dim).as("e"))
+      .withColumn("bucket", hyperplaneBucket(col("e"), dim, nPlanes))
+      .withColumn("nrm", normSqNative(col("e")))
+      .persist()
+    val a = e.select(col("bucket"), col("id").as("anchor"), col("e").as("e_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("bucket"), col("id").as("neg"), col("e").as("e_b"), col("nrm").as("nrm_b"))
+    val cand = a.join(b, Seq("bucket"))
+      .filter(col("anchor") =!= col("neg"))
+      .select(col("anchor"), col("neg"), col("bucket"),
+        (dotNative(col("e_a"), col("e_b")) /
+          sqrt(col("nrm_a") * col("nrm_b"))).as("cos"))
+      .filter(col("cos") <= maxCos)
+      .withColumn("__cos_r", round(col("cos"), 9))
+    val top = TopK.perGroup(cand, Seq("anchor"),
+      Seq(("__cos_r", true), ("neg", false)), k).drop("__cos_r")
+    Materialize.spillRelease(top, e)
+  }
 }

@@ -411,7 +411,7 @@ object Curation {
     "q145_token_budget" -> q145TokenBudget)
 
   /** Shared oracle fragment: the q37/q111 quality-score formula. */
-  private val qScore =
+  private[queries] val qScore =
     """least(len(str_split(text, ' '))::DOUBLE / 100.0, 1.0) * 0.4
       |      + (len(list_distinct(str_split(text, ' ')))::DOUBLE
       |         / len(str_split(text, ' '))::DOUBLE) * 0.3

@@ -285,10 +285,38 @@ object Curation4 {
       .orderBy("doc_id")
   }
 
+  /** Corpus data card: the per-source report a curation run ships with
+    * — volume (docs/tokens/chars), exact-duplicate rate (distinct
+    * content hashes vs docs), language spread, and mean quality score.
+    * One scan + one shuffled agg per source; every mean goes through
+    * DECIMAL sums.
+    */
+  private val q175CorpusReport: Q = (s, d) => {
+    import graft.functions.TextFunctions.qualityScore
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(words(col("text"))).cast("long").as("n_tok"),
+        md5(col("text")).as("fp"),
+        qualityScore(col("text"), words(col("text"))).cast(org.apache.spark.sql.types.DecimalType(20, 9)).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        count_distinct(col("fp")).as("n_distinct"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("q")).as("qs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs").cast(DoubleType), 9).as("dup_rate"),
+        col("n_langs"),
+        round(col("qs").cast(DoubleType) / col("n_docs").cast(DoubleType), 6).as("mean_quality"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q168_robust_stats" -> q168RobustStats,
     "q170_bucketed_agg" -> q170BucketedAgg,
     "q172_span_scrub" -> q172SpanScrub,
+    "q175_corpus_report" -> q175CorpusReport,
     "q169_ewma" -> q169Ewma,
     "q161_cdc_chunks" -> q161CdcChunks,
     "q162_pmi_collocations" -> q162PmiCollocations,
@@ -299,6 +327,15 @@ object Curation4 {
     "q167_incremental_agg" -> q167IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
+    "q175_corpus_report" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)::DOUBLE, 9) AS dup_rate,
+         |  count(DISTINCT lang) AS n_langs,
+         |  round(CAST(sum(CAST(${Curation.qScore} AS DECIMAL(20,9))) AS DOUBLE)
+         |    / count(*)::DOUBLE, 6) AS mean_quality
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q172_span_scrub" ->
       """WITH docs AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
         |wins AS (SELECT doc_id, p,

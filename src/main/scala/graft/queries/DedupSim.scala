@@ -234,7 +234,22 @@ object DedupSim {
       .orderBy("qid", "rank")
   }
 
+  /** LSH-bucketed hard negatives: per anchor, the 3 hardest same-bucket
+    * vectors at cos ≤ 0.9 — contrastive-training negatives mined
+    * without an all-pairs product (the bucket is the candidate
+    * generator). q133's hash-drawn random negatives are the easy-
+    * negative baseline; these are the informative ones.
+    */
+  private val q174HardNegatives: Q = (s, d) =>
+    Similarity.lshHardNegatives(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e")),
+        "vec_id", "e", dim = 64, nPlanes = 8, maxCos = 0.9, k = 3)
+      .select("anchor", "rank", "neg", "bucket", "cos")
+      .orderBy("anchor", "rank")
+
   val defs: Map[String, Q] = Map(
+    "q174_hard_negatives" -> q174HardNegatives,
     "q173_ivf_indexed" -> q173IvfIndexed,
     "q112_semdedup" -> q112Semdedup,
     "q109_paragraph_dedup" -> q109ParagraphDedup,
@@ -586,6 +601,28 @@ object DedupSim {
         |  FROM hits)
         |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 3
         |ORDER BY qid, rank""".stripMargin,
+    "q174_hard_negatives" ->
+      s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+         |    FROM embeddings),
+         |dotted AS (SELECT vec_id, e,
+         |    list_transform(range(0, 8), p ->
+         |      list_sum(list_transform(range(1, 65), j ->
+         |        e[j] * CASE WHEN ${h.format("p::VARCHAR || ',' || j::VARCHAR")} % 2 = 1
+         |               THEN 1.0 ELSE -1.0 END))) dots
+         |  FROM e0),
+         |bucketed AS (SELECT vec_id, e,
+         |    list_sum(list_transform(range(0, 8), p ->
+         |      CASE WHEN dots[p+1] >= 0 THEN pow(2, p)::BIGINT ELSE 0 END))::BIGINT bucket
+         |  FROM dotted),
+         |cand AS (SELECT a.vec_id AS anchor, b.vec_id AS neg, a.bucket,
+         |    list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) AS cos
+         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT anchor, neg, bucket, cos,
+         |    row_number() OVER (PARTITION BY anchor
+         |      ORDER BY round(cos, 9) DESC, neg ASC) AS rank
+         |  FROM cand WHERE cos <= 0.9)
+         |SELECT anchor, rank, neg, bucket, cos FROM ranked WHERE rank <= 3
+         |ORDER BY anchor, rank""".stripMargin,
     "q76_similarity_lsh" ->
       s"""$vecCte,
          |dotted AS (SELECT vec_id, e,
