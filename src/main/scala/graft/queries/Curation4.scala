@@ -312,11 +312,51 @@ object Curation4 {
       .orderBy("source")
   }
 
+  /** T5-style span-corruption examples: ~5% of positions seed a
+    * 3-token mask span (deterministic hash), overlapping spans fuse
+    * into runs, each run is replaced by a numbered `<extra_id_K>`
+    * sentinel in the input and emitted as `<extra_id_K> tokens…` in the
+    * target. Run detection is one lag + one running sum over DOC-local
+    * windows (no corpus-wide state); outputs are hash-verified. The
+    * denoising-objective companion to q150's causal-LM pairs.
+    */
+  private val q176SpanCorruption: Q = (s, d) => {
+    def hcond(p: org.apache.spark.sql.Column) =
+      when(p >= 1, mdHash(concat_ws("|", lit("sc"), col("doc_id"), p)) % 20 === 0)
+        .otherwise(lit(false))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      .withColumn("m", hcond(col("pos")) || hcond(col("pos") - 1) || hcond(col("pos") - 2))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = toks
+      .withColumn("prev_m", lag(col("m").cast("int"), 1, 0).over(w))
+      .withColumn("start", col("m") && col("prev_m") === 0)
+      .withColumn("k", sum(col("start").cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("in_piece",
+        when(!col("m"), col("tok"))
+          .when(col("start"), concat(lit("<extra_id_"), col("k"), lit(">"))))
+      .withColumn("tg_piece",
+        when(col("m") && col("start"), concat(lit("<extra_id_"), col("k"), lit("> "), col("tok")))
+          .when(col("m"), col("tok")))
+    run.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("m").cast("long")).as("n_masked"),
+        max(col("k")).cast("long").as("n_spans"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(filter(collect_list(CASE WHEN in_piece IS NOT NULL THEN struct(pos, in_piece) END), x -> x IS NOT NULL)), x -> x.in_piece)"))).as("input_md5"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(filter(collect_list(CASE WHEN tg_piece IS NOT NULL THEN struct(pos, tg_piece) END), x -> x IS NOT NULL)), x -> x.tg_piece)"))).as("target_md5"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q168_robust_stats" -> q168RobustStats,
     "q170_bucketed_agg" -> q170BucketedAgg,
     "q172_span_scrub" -> q172SpanScrub,
     "q175_corpus_report" -> q175CorpusReport,
+    "q176_span_corruption" -> q176SpanCorruption,
     "q169_ewma" -> q169Ewma,
     "q161_cdc_chunks" -> q161CdcChunks,
     "q162_pmi_collocations" -> q162PmiCollocations,
@@ -327,6 +367,36 @@ object Curation4 {
     "q167_incremental_agg" -> q167IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
+    "q176_span_corruption" ->
+      """WITH toks AS (SELECT doc_id, pos, w[pos] AS tok
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+        |        FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))),
+        |flagged AS (SELECT doc_id, pos, tok,
+        |    ((pos >= 1 AND ('0x' || substr(md5('sc|' || doc_id || '|' || pos), 1, 15))::BIGINT % 20 = 0)
+        |     OR (pos - 1 >= 1 AND ('0x' || substr(md5('sc|' || doc_id || '|' || (pos-1)), 1, 15))::BIGINT % 20 = 0)
+        |     OR (pos - 2 >= 1 AND ('0x' || substr(md5('sc|' || doc_id || '|' || (pos-2)), 1, 15))::BIGINT % 20 = 0)) AS m
+        |  FROM toks),
+        |runs AS (SELECT doc_id, pos, tok, m,
+        |    CASE WHEN m AND coalesce(lag(CASE WHEN m THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0 THEN true ELSE false END AS start
+        |  FROM flagged),
+        |numbered AS (SELECT doc_id, pos, tok, m, start,
+        |    sum(CASE WHEN start THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+        |  FROM runs),
+        |pieces AS (SELECT doc_id, pos, m, k,
+        |    CASE WHEN NOT m THEN tok
+        |         WHEN start THEN '<extra_id_' || k || '>' END AS in_piece,
+        |    CASE WHEN m AND start THEN '<extra_id_' || k || '> ' || tok
+        |         WHEN m THEN tok END AS tg_piece
+        |  FROM numbered)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(max(k) AS BIGINT) AS n_spans,
+        |  md5(coalesce(string_agg(in_piece, ' ' ORDER BY pos), '')) AS input_md5,
+        |  md5(coalesce(string_agg(tg_piece, ' ' ORDER BY pos), '')) AS target_md5
+        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q175_corpus_report" ->
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
