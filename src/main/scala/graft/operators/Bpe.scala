@@ -38,7 +38,7 @@ object Bpe {
     * @return one row per merge: (round, lhs, rhs, merged, weight)
     */
   def learnMerges(spark: SparkSession, vocab: DataFrame, rounds: Int): DataFrame =
-    run(spark, vocab, rounds)._1
+    run(spark, vocab, rounds, needRepr = false)._1
 
   /** The encode side: the vocabulary after `rounds` learned merges —
     * (word, freq, tokens array). Applying a FIXED merge list to new
@@ -46,7 +46,7 @@ object Bpe {
     * merges); here the list is learned and applied in one pass.
     */
   def encodeVocab(spark: SparkSession, vocab: DataFrame, rounds: Int): DataFrame =
-    run(spark, vocab, rounds)._2
+    run(spark, vocab, rounds, needRepr = true)._2
       .select(col("word"), col("freq"), split(trim(col("repr")), "  ").as("tokens"))
 
   /** Encode arbitrary text with a FIXED learned merge list — the
@@ -75,25 +75,26 @@ object Bpe {
         (w: org.apache.spark.sql.Column) => encodeWord(w))))
   }
 
-  private def run(spark: SparkSession, vocab: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+  private def run(spark: SparkSession, vocab: DataFrame, rounds: Int,
+      needRepr: Boolean): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // "  k  e  y  " — two-space separators (see class doc).
     //
     // Each round: persist + EAGERLY materialize the |V|-row repr table
-    // (the k-means/label-propagation pattern), then collect the 1-row
-    // argmax to the driver and bake it into the next round as literals.
-    // This keeps every round's lineage FLAT — one cached table + one
-    // replace — where a lazy crossJoin(broadcast(limit-1)) chain made
-    // fresh-session runs re-derive earlier rounds inside each broadcast
-    // job (measured 24 s isolated vs 4 s warm at sf0.1). The driver
-    // holds exactly `rounds` merge rows — bounded model state, the same
-    // contract as collected k-means centroids.
+    // (the k-means/label-propagation pattern), unpersist the superseded
+    // round (only ONE cached copy of the vocabulary lives at a time),
+    // then collect the 1-row argmax to the driver and bake it into the
+    // next round as literals. This keeps every round's lineage FLAT —
+    // one cached table + one replace — where a lazy
+    // crossJoin(broadcast(limit-1)) chain made fresh-session runs
+    // re-derive earlier rounds inside each broadcast job (measured 24 s
+    // isolated vs 4 s warm at sf0.1). The driver holds exactly `rounds`
+    // merge rows — bounded model state, the same contract as collected
+    // k-means centroids.
     var repr = vocab.select(col("word"), col("freq"),
       concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("repr"))
       .persist()
     repr.count()
-    val cached = Seq.newBuilder[DataFrame]
-    cached += repr
     val mergeRows = Seq.newBuilder[(Int, String, String, String, Long)]
     for (r <- 1 to rounds) {
       val toks = repr.select(col("freq"), split(trim(col("repr")), "  ").as("t"))
@@ -107,19 +108,24 @@ object Bpe {
       if (best.nonEmpty) {
         val (l, rr, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         mergeRows += ((r, l, rr, l + rr, w))
+        val prev = repr
         repr = repr.withColumn("repr",
             org.apache.spark.sql.functions.replace(col("repr"),
               lit(s" $l  $rr "), lit(s" $l$rr ")))
           .persist()
         repr.count()
-        cached += repr
+        prev.unpersist()
       }
     }
     val sq = spark
     import sq.implicits._
     val merges = mergeRows.result()
       .toDF("round", "lhs", "rhs", "merged", "weight")
-    val reprOut = Materialize.spillRelease(repr, cached.result(): _*)
+    // learn-only callers already hold the merge rows on the driver —
+    // skip the repr spill entirely and just drop the last cache
+    val reprOut =
+      if (needRepr) Materialize.spillRelease(repr, repr)
+      else { repr.unpersist(); repr }
     (merges, reprOut)
   }
 }

@@ -169,11 +169,15 @@ object Similarity {
       .withColumn("nrm_q", normSqNative(col("e_q")))
     val wProbe = Window.partitionBy("qid")
       .orderBy(round(col("ccos"), 9).desc, col("cid").asc)
+    // persist the probe table: the distinct-cell collect (for the
+    // partition filter) and the search join both read it — without the
+    // cache the query×centroid cross join and rank window run twice
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("ccos", dotNative(col("e_q"), col("cv")) / sqrt(col("nrm_q") * col("nrm_c")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("e_q"), col("nrm_q"), col("cid"))
+      .persist()
     val probedCells = probes.select("cid").distinct().collect().map(_.getLong(0))
     val idx = spark.read.parquet(indexDir)
       .filter(col("cid").isin(probedCells.toIndexedSeq: _*))
@@ -183,8 +187,9 @@ object Similarity {
         (dotNative(col("e_q"), col("e_n")) /
           sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
       .withColumn("__cos_r", round(col("cos"), 9))
-    TopK.perGroup(hits, Seq("qid"), Seq(("__cos_r", true), ("nid", false)), k)
+    val top = TopK.perGroup(hits, Seq("qid"), Seq(("__cos_r", true), ("nid", false)), k)
       .drop("__cos_r")
+    Materialize.spillRelease(top, probes)
   }
 
   /** One distributed Lloyd (k-means) iteration — the centroid-training

@@ -37,8 +37,8 @@ object Curation3 {
     */
   private val q152BucketedJoin: Q = (s, d) => {
     Bucketing.ensure(s, d)
-    val o = s.table("orders_b8")
-    val l = s.table("lineitem_b8")
+    val o = s.table(Bucketing.ordersTable(d))
+    val l = s.table(Bucketing.lineitemTable(d))
     o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_returnflag") === "R")
       .groupBy("o_orderpriority")
@@ -129,12 +129,13 @@ object Curation3 {
       .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("ps"))
       .select(col("source"),
         concat_ws("\n", expr("transform(ps, p -> p.text)")).as("payload"))
-    // fresh fixture dir, then executor-side file writes (local-mode FS)
-    val dp = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.isDirectory(dp)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dp).iterator().asScala.foreach(java.nio.file.Files.delete)
-    } else java.nio.file.Files.createDirectories(dp)
+    // fresh fixture dir, then executor-side file writes (local-mode FS);
+    // listFiles (not Files.list) — no stream handle to leak
+    val dp = new java.io.File(dir)
+    if (dp.isDirectory) {
+      val kids = dp.listFiles()
+      if (kids != null) kids.foreach(f => java.nio.file.Files.delete(f.toPath))
+    } else java.nio.file.Files.createDirectories(dp.toPath)
     payloads.repartition(4, col("source")).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>
@@ -289,8 +290,8 @@ object Curation3 {
        |  GROUP BY 1, 2),
        |b$r AS (SELECT * FROM p$r ORDER BY weight DESC, lhs, rhs LIMIT 1),
        |r$r AS (SELECT word, freq,
-       |    replace(repr, ' '||b$r.lhs||'  '||b$r.rhs||' ', ' '||b$r.lhs||b$r.rhs||' ') AS repr
-       |  FROM r${r - 1}, b$r)""".stripMargin
+       |    coalesce(replace(repr, ' '||b.lhs||'  '||b.rhs||' ', ' '||b.lhs||b.rhs||' '), repr) AS repr
+       |  FROM r${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
 
   /** The 6-round BPE CTE chain (v → r0 → … → b6/r6), shared by the
     * q153 (learn) and q165 (encode) oracles.

@@ -57,7 +57,9 @@ object Curation4 {
       .select(col("doc_id"), words(col("text")).as("w"))
     val uni = docs.select(explode(col("w")).as("x"))
       .groupBy("x").agg(count(lit(1)).as("cx"))
-    val total = docs.select(explode(col("w")).as("x")).count().toDouble
+    // corpus token total from the |V|-row unigram table — no second
+    // corpus-wide explode for one scalar
+    val total = uni.agg(sum(col("cx"))).head.getLong(0).toDouble
     val pairs = docs.filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(2, size(w)), i -> struct(w[i-2] as x, w[i-1] as y))")).as("p"))
@@ -142,7 +144,7 @@ object Curation4 {
     */
   private val q166BucketPruning: Q = (s, d) => {
     graft.sources.Bucketing.ensure(s, d)
-    s.table("lineitem_b8")
+    s.table(graft.sources.Bucketing.lineitemTable(d))
       .filter(col("l_orderkey").isin(7L, 42L))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -233,7 +235,7 @@ object Curation4 {
     */
   private val q170BucketedAgg: Q = (s, d) => {
     graft.sources.Bucketing.ensure(s, d)
-    s.table("lineitem_b8")
+    s.table(graft.sources.Bucketing.lineitemTable(d))
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_items"),
         graft.functions.GraftFunctions.dsum(col("l_quantity")).as("sum_qty"))

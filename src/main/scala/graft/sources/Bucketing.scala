@@ -25,17 +25,28 @@ object Bucketing {
 
   val Buckets = 8
 
-  /** Dir whose tables are currently materialized (JVM-wide; the
+  /** Table names are keyed by the scale-factor dir (sf0.01 →
+    * `orders_b8_sf0_01`), so different-sf JVMs sharing the warehouse
+    * path never clobber each other's layout, and a catalog probe for
+    * THIS dir's table is meaningful after a context restart.
+    */
+  def ordersTable(dir: String): String = s"orders_b8_${suffix(dir)}"
+  def lineitemTable(dir: String): String = s"lineitem_b8_${suffix(dir)}"
+  private def suffix(dir: String): String =
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Dirs whose tables are currently materialized (JVM-wide; the
     * catalog entries live in the SparkContext-shared external catalog,
     * so a marker alone is insufficient after a context restart —
     * [[ensure]] re-checks `tableExists`).
     */
-  @volatile private var builtFor: Option[String] = None
+  @volatile private var builtFor: Set[String] = Set.empty
 
-  /** Materialize `orders_b8` / `lineitem_b8`, bucketed+sorted by order
-    * key, if not already present for `dir`. Idempotent per (JVM, dir);
-    * `saveAsTable` goes to the session catalog's warehouse (the managed
-    * path — CTAS with `bucketBy` requires a table, not a bare path).
+  /** Materialize the bucketed orders/lineitem tables for `dir`,
+    * bucketed+sorted by order key, if not already present. Idempotent
+    * per (JVM, dir); `saveAsTable` goes to the session catalog's
+    * warehouse (the managed path — CTAS with `bucketBy` requires a
+    * table, not a bare path).
     */
   def ensure(spark: SparkSession, dir: String): Unit = synchronized {
     // sort-aware bucketed scans are behind a default-off flag since
@@ -49,16 +60,16 @@ object Bucketing {
     // pruning (point lookups reading 1/numBuckets of the files) — keep
     // bucket-aware scans on for sessions that opted into this layout
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val (ot, lt) = (ordersTable(dir), lineitemTable(dir))
     val present = builtFor.contains(dir) &&
-      spark.catalog.tableExists("orders_b8") &&
-      spark.catalog.tableExists("lineitem_b8")
+      spark.catalog.tableExists(ot) && spark.catalog.tableExists(lt)
     if (!present) {
       // a previous JVM's managed-table dirs survive in the warehouse
       // while the in-memory catalog starts empty — clear stale paths
       // or CTAS fails with LOCATION_ALREADY_EXISTS
       val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq("orders_b8", "lineitem_b8").foreach { t =>
+      Seq(ot, lt).foreach { t =>
         if (!spark.catalog.tableExists(t))
           fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
       }
@@ -70,11 +81,11 @@ object Bucketing {
       import org.apache.spark.sql.functions.col
       Tables.orders(spark, dir).repartition(Buckets, col("o_orderkey")).write
         .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").format("parquet").saveAsTable("orders_b8")
+        .mode("overwrite").format("parquet").saveAsTable(ot)
       Tables.lineitem(spark, dir).repartition(Buckets, col("l_orderkey")).write
         .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").format("parquet").saveAsTable("lineitem_b8")
-      builtFor = Some(dir)
+        .mode("overwrite").format("parquet").saveAsTable(lt)
+      builtFor += dir
     }
   }
 }

@@ -409,8 +409,8 @@ class OperatorsSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     graft.sources.Bucketing.ensure(spark, sf)
     graft.sources.Bucketing.ensure(spark, sf) // no rewrite, no throw
-    val bucketed = spark.table("orders_b8")
-      .join(spark.table("lineitem_b8"), col("o_orderkey") === col("l_orderkey"))
+    val bucketed = spark.table(graft.sources.Bucketing.ordersTable(sf))
+      .join(spark.table(graft.sources.Bucketing.lineitemTable(sf)), col("o_orderkey") === col("l_orderkey"))
       .count()
     val plain = graft.sources.Tables.orders(spark, sf)
       .join(graft.sources.Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))

@@ -342,8 +342,8 @@ class PlanQualitySpec extends SparkSpec {
   test("q152 bucketed join: co-partitioned, co-sorted scans — no Exchange, no Sort") {
     import org.apache.spark.sql.functions.col
     graft.sources.Bucketing.ensure(spark, sf)
-    val j = spark.table("orders_b8").hint("merge")
-      .join(spark.table("lineitem_b8"), col("o_orderkey") === col("l_orderkey"))
+    val j = spark.table(graft.sources.Bucketing.ordersTable(sf)).hint("merge")
+      .join(spark.table(graft.sources.Bucketing.lineitemTable(sf)), col("o_orderkey") === col("l_orderkey"))
     j.collect()
     val p = j.queryExecution.executedPlan.toString
     assert(p.contains("SortMergeJoin"), s"expected sort-merge over buckets:\n$p")
@@ -424,11 +424,13 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q173 indexed IVF: probe scan prunes unprobed cell partitions") {
-    val df = SparkEntry.queries("q173_ivf_indexed")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[cid#\\d+ IN \\(".r.findFirstIn(p).isDefined,
-      s"index scan must carry a cid IN partition filter:\n$p")
+    // the operator ends in spillRelease, so the pruned index scan runs
+    // eagerly inside the call — capture executed plans during it
+    val all = executedPlansDuring {
+      SparkEntry.queries("q173_ivf_indexed")(spark, sf).collect(): Unit
+    }(p => "PartitionFilters: \\[cid#\\d+ IN \\(".r.findFirstIn(p).isDefined)
+    assert("PartitionFilters: \\[cid#\\d+ IN \\(".r.findFirstIn(all).isDefined,
+      s"index scan must carry a cid IN partition filter:\n$all")
   }
 
   test("whole-stage codegen covers the criteo expression chain") {
