@@ -353,7 +353,38 @@ object Curation4 {
       .orderBy("doc_id")
   }
 
+  /** Rolling z-score anomaly detection over per-minute event-type
+    * volumes: trailing 30-minute RANGE frame (never row-count — gaps in
+    * sparse minutes must widen the window, not silently shrink it),
+    * variance from exact integer power sums so the statistic is
+    * bit-identical at any partitioning. The ops-monitoring shape for
+    * ingest pipelines; windows are type-local, nothing corpus-wide.
+    */
+  private val q177VolumeAnomaly: Q = (s, d) => {
+    val perMin = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_millis(ts) DIV 60000").as("minute_idx"))
+      .groupBy("event_type", "minute_idx")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute_idx"))
+      .rangeBetween(-30, -1)
+    perMin
+      .withColumn("c", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("mean", col("s1").cast(DoubleType) / col("c").cast(DoubleType))
+      .withColumn("variance",
+        when(col("c") >= 2,
+          (col("s2").cast(DoubleType) - col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("c").cast(DoubleType))
+            / (col("c").cast(DoubleType) - lit(1.0))))
+      .select(col("event_type"), col("minute_idx"), col("n"),
+        coalesce(col("c"), lit(0L)).as("window_minutes"),
+        round(when(col("c") >= 10 && col("variance") > 0,
+          (col("n").cast(DoubleType) - col("mean")) / sqrt(col("variance"))), 6).as("z"))
+      .orderBy("event_type", "minute_idx")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q177_volume_anomaly" -> q177VolumeAnomaly,
     "q168_robust_stats" -> q168RobustStats,
     "q170_bucketed_agg" -> q170BucketedAgg,
     "q172_span_scrub" -> q172SpanScrub,
@@ -369,6 +400,23 @@ object Curation4 {
     "q167_incremental_agg" -> q167IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
+    "q177_volume_anomaly" ->
+      """WITH pm AS (SELECT event_type, epoch_ms(ts) // 60000 AS minute_idx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, minute_idx, n,
+        |    count(n) OVER w AS c, sum(n) OVER w AS s1, sum(n * n) OVER w AS s2
+        |  FROM pm
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY minute_idx
+        |    RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, minute_idx, CAST(n AS BIGINT) AS n,
+        |  CAST(coalesce(c, 0) AS BIGINT) AS window_minutes,
+        |  round(CASE WHEN c >= 10
+        |      AND (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / c::DOUBLE) / (c::DOUBLE - 1.0) > 0
+        |    THEN (n::DOUBLE - s1::DOUBLE / c::DOUBLE)
+        |      / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / c::DOUBLE) / (c::DOUBLE - 1.0))
+        |    END, 6) AS z
+        |FROM st ORDER BY event_type, minute_idx""".stripMargin,
     "q176_span_corruption" ->
       """WITH toks AS (SELECT doc_id, pos, w[pos] AS tok
         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
