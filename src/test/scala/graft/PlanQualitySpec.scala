@@ -50,7 +50,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     import org.apache.spark.sql.functions._
-    // default warehouse dir (./spark-warehouse, gitignored) — the
+    // session warehouse dir (/tmp/graft-warehouse via SparkSpec) — the
     // warehouse location is a static conf, not settable per-test
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
