@@ -27,6 +27,9 @@ object Bench {
       // frames whose fixed 32-partition stages otherwise dominate
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
+    // bucketed-layout planner flags (sort-aware scans, no auto-disable)
+    // — session-build-time opt-in, see Bucketing.sessionConfs
+    graft.sources.Bucketing.sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/page-cache warmup on the smallest inputs: one silent
     // pass of every query at sf0.001 (measurement below is sfDir).
@@ -65,7 +68,9 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")) Map.empty[String, Double]
       else sorted.map { case (name, fn) =>
         spark.catalog.clearCache()
-        name -> timeOne(spark.newSession(), name, fn)
+        val s2 = spark.newSession() // fresh state — re-apply runtime-set confs
+        graft.sources.Bucketing.sessionConfs.foreach { case (k, v) => s2.conf.set(k, v) }
+        name -> timeOne(s2, name, fn)
       }.toMap
     printJson(results.toMap, isolated, sfDir)
     spark.stop()

@@ -24,6 +24,9 @@ object Verify {
       // AQE coalescing under cached plans — see Bench.scala
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
+    // bucketed-layout planner flags — session-build-time opt-in, see
+    // Bucketing.sessionConfs
+    graft.sources.Bucketing.sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // deterministic name order (hash-map order shifts when queries are

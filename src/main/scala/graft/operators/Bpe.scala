@@ -35,10 +35,14 @@ object Bpe {
   /** Learn `rounds` merges from a (word, freq) vocabulary.
     *
     * @param vocab columns (`word` string, `freq` long)
+    * @param maxBatch upper bound on merges applied per Spark round
+    *   (1 = classic one-merge-per-round; the default batches — see
+    *   [[run]] for why the result is bit-identical either way)
     * @return one row per merge: (round, lhs, rhs, merged, weight)
     */
-  def learnMerges(spark: SparkSession, vocab: DataFrame, rounds: Int): DataFrame =
-    run(spark, vocab, rounds, needRepr = false)._1
+  def learnMerges(spark: SparkSession, vocab: DataFrame, rounds: Int,
+      maxBatch: Int = 16): DataFrame =
+    run(spark, vocab, rounds, needRepr = false, maxBatch)._1
 
   /** The encode side: the vocabulary after `rounds` learned merges —
     * (word, freq, tokens array). Applying a FIXED merge list to new
@@ -76,42 +80,90 @@ object Bpe {
   }
 
   private def run(spark: SparkSession, vocab: DataFrame, rounds: Int,
-      needRepr: Boolean): (DataFrame, DataFrame) = {
+      needRepr: Boolean, maxBatch: Int = 16): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // "  k  e  y  " — two-space separators (see class doc).
     //
-    // Each round: persist + EAGERLY materialize the |V|-row repr table
-    // (the k-means/label-propagation pattern), unpersist the superseded
-    // round (only ONE cached copy of the vocabulary lives at a time),
-    // then collect the 1-row argmax to the driver and bake it into the
-    // next round as literals. This keeps every round's lineage FLAT —
-    // one cached table + one replace — where a lazy
-    // crossJoin(broadcast(limit-1)) chain made fresh-session runs
-    // re-derive earlier rounds inside each broadcast job (measured 24 s
-    // isolated vs 4 s warm at sf0.1). The driver holds exactly `rounds`
-    // merge rows — bounded model state, the same contract as collected
-    // k-means centroids.
+    // Each Spark round: persist + EAGERLY materialize the |V|-row repr
+    // table (the k-means/label-propagation pattern), unpersist the
+    // superseded round (only ONE cached copy of the vocabulary lives at
+    // a time), then collect a small top-k candidate block to the driver
+    // and bake the accepted merges into the next round as literals.
+    // This keeps every round's lineage FLAT — one cached table + one
+    // replace chain — where a lazy crossJoin(broadcast(limit-1)) chain
+    // made fresh-session runs re-derive earlier rounds inside each
+    // broadcast job (measured 24 s isolated vs 4 s warm at sf0.1). The
+    // driver holds exactly `rounds` merge rows — bounded model state,
+    // the same contract as collected k-means centroids.
+    //
+    // BATCHED ROUNDS, bit-identical to classic one-merge-per-round
+    // greedy BPE: per round, take the maximal PREFIX of the
+    // (weight desc, lhs, rhs)-sorted pair list whose extended symbol
+    // sets {lhs, rhs, lhs+rhs} are pairwise disjoint, truncated to
+    // pairs STRICTLY heavier than the first candidate left out. Why
+    // that equals the sequential result:
+    //  - disjoint merges can't change each other's pair counts (a
+    //    (c,d) adjacency survives any (a,b) merge with
+    //    {a,b,ab} ∩ {c,d,cd} = ∅), so the accepted pairs keep their
+    //    exact weights and relative order through the batch;
+    //  - every pair a merge CREATES (x,ab) or grows comes from a
+    //    pre-existing adjacency (x,a) that SHARES a symbol with the
+    //    merge, so its weight is bounded by a non-accepted pair's
+    //    weight ≤ the floor — strictly below every accepted pair —
+    //    and cannot out-rank them in any intermediate round;
+    //  - the head of the prefix is literally the classic argmax.
+    // So sequential greedy would pick exactly these pairs, in this
+    // order, over the next |batch| rounds — 30k-merge vocab training
+    // collapses from 30k driver round-trips to ~rounds/maxBatch jobs
+    // with an unchanged merge list (BpeSpec pins batched ≡ classic).
     var repr = vocab.select(col("word"), col("freq"),
       concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("repr"))
       .persist()
     repr.count()
     val mergeRows = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var learned = 0
+    var exhausted = false
+    while (learned < rounds && !exhausted) {
       val toks = repr.select(col("freq"), split(trim(col("repr")), "  ").as("t"))
         .filter(size(col("t")) >= 2) // sequence(2,1) would run backwards
       val pairs = toks.select(col("freq"),
           explode(expr("transform(sequence(2, size(t)), i -> struct(t[i-2] as lhs, t[i-1] as rhs))")).as("p"))
         .select(col("p.lhs"), col("p.rhs"), col("freq"))
-      val best = pairs.groupBy("lhs", "rhs").agg(sum("freq").as("weight"))
-        .orderBy(col("weight").desc, col("lhs"), col("rhs")).limit(1)
+      val budget = math.min(maxBatch, rounds - learned)
+      // lookahead past the budget so the first rejected candidate's
+      // weight (the safety floor) is always visible in the block
+      val k = budget + math.max(budget, 8)
+      val cand = pairs.groupBy("lhs", "rhs").agg(sum("freq").as("weight"))
+        .orderBy(col("weight").desc, col("lhs"), col("rhs")).limit(k)
         .collect()
-      if (best.nonEmpty) {
-        val (l, rr, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        mergeRows += ((r, l, rr, l + rr, w))
+      if (cand.isEmpty) exhausted = true // nothing left to merge — stop
+      else {
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var used = Set.empty[String]
+        var floor = -1L // weight of the first candidate NOT accepted
+        var stopped = false
+        for (row <- cand if !stopped) {
+          val (l, rr, w) = (row.getString(0), row.getString(1), row.getLong(2))
+          val syms = Set(l, rr, l + rr)
+          if (accepted.size >= budget || used.exists(syms)) {
+            floor = w; stopped = true
+          } else { accepted += ((l, rr, w)); used ++= syms }
+        }
+        // the head IS the classic argmax — always safe; later accepts
+        // only while strictly above the floor (ties could let a freshly
+        // created pair win the canonical tie-break instead)
+        val batch = accepted.head +: accepted.tail.takeWhile(_._3 > floor).toSeq
+        batch.foreach { case (l, rr, w) =>
+          learned += 1
+          mergeRows += ((learned, l, rr, l + rr, w))
+        }
         val prev = repr
         repr = repr.withColumn("repr",
-            org.apache.spark.sql.functions.replace(col("repr"),
-              lit(s" $l  $rr "), lit(s" $l$rr ")))
+            batch.foldLeft(col("repr")) { case (acc, (l, rr, _)) =>
+              org.apache.spark.sql.functions.replace(acc,
+                lit(s" $l  $rr "), lit(s" $l$rr "))
+            })
           .persist()
         repr.count()
         prev.unpersist()

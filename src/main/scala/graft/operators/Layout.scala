@@ -19,27 +19,46 @@ object Layout {
     * so the result fits 2·bits ≤ 62 bits). Pure bit arithmetic —
     * codegen'd, scan-parallel, engine-reproducible.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xl = x.cast("long")
-    val yl = y.cast("long")
-    (0 until bits).map { b =>
-      shiftleft(shiftrightunsigned(xl, b).bitwiseAND(lit(1L)), 2 * b) +
-        shiftleft(shiftrightunsigned(yl, b).bitwiseAND(lit(1L)), 2 * b + 1)
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** Morton code of n non-negative integer columns: bit b of column i
+    * lands at position n·b + i (round-robin interleave, the standard
+    * n-dimensional Z-curve). Real layout clustering wants 3–4 keys
+    * (e.g. customer × item × day); n·bits must fit a signed long.
+    * Pure bit arithmetic over the column algebra — codegen'd,
+    * scan-parallel, engine-reproducible.
+    */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 1, "zValueN needs at least one column")
+    require(bits >= 1 && n * bits <= 62,
+      s"need 1 <= bits and n*bits <= 62, got n=$n bits=$bits")
+    val longs = cols.map(_.cast("long"))
+    (0 until bits).flatMap { b =>
+      longs.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftrightunsigned(c, b).bitwiseAND(lit(1L)), n * b + i)
+      }
     }.reduceLeft(_ + _)
   }
 
-  /** Rewrite `df` clustered along the z-curve of (xCol, yCol):
+  /** Rewrite `df` clustered along the z-curve of `keyCols`:
     * range-partition on the z-value (equal-size output files via
     * sampled range bounds), sort within partitions, drop the helper
     * column. Writing the result gives every file a tight z-range —
-    * i.e. a tight (x, y) bounding box — so min/max pruning works for
-    * range predicates on EITHER column. One shuffle, no driver state.
+    * i.e. a tight bounding box in ALL the keys — so min/max pruning
+    * works for range predicates on ANY of them. One shuffle, no
+    * driver state.
     */
   def clusterByZ(df: DataFrame, xCol: String, yCol: String,
+      numPartitions: Int, bits: Int = 16): DataFrame =
+    clusterByZN(df, Seq(xCol, yCol), numPartitions, bits)
+
+  /** n-column variant of [[clusterByZ]]. */
+  def clusterByZN(df: DataFrame, keyCols: Seq[String],
       numPartitions: Int, bits: Int = 16): DataFrame = {
     require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
-    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+    df.withColumn("__z", zValueN(keyCols.map(col), bits))
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -65,12 +84,20 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compacting")
     spark.read.parquet(dir).coalesce(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: the rewritten copy replaces the original atomically-enough
-    // for a maintenance window (a real lakehouse would commit via its
-    // table format's metadata transaction instead)
-    fs.delete(path, true)
-    if (!fs.rename(tmp, path))
+    // swap with a recovery copy at every step: original -> .old,
+    // rewritten -> original, then drop .old. A crash mid-swap leaves
+    // the data intact in at least one of the two side dirs (a real
+    // lakehouse would commit via its table format's metadata
+    // transaction instead).
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: rename $path -> $old failed")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore the original before failing
       throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    }
+    fs.delete(old, true)
     fs.listStatus(path).count(f => f.getPath.getName.endsWith(".parquet")).toLong
   }
 }

@@ -33,6 +33,15 @@ private[graft] object Materialize {
     spark.read.parquet(path)
   }
 
+  /** Per-JVM scratch path for query-built fixtures (IVF index, decoded
+    * binary blobs, corrupt-record files). Keyed under the JVM temp root
+    * so concurrent JVMs (bench + verify on the same sf) never read each
+    * other's half-written directories, and a regenerated input can
+    * never be shadowed by a stale fixture from an earlier run — the
+    * root dies with the JVM.
+    */
+  def jvmScratch(name: String): String = s"$tempSpillRoot/$name"
+
   // one temp root per JVM, removed by a shutdown hook so long-lived
   // local sessions do not accumulate spill directories
   private lazy val tempSpillRoot: String = {

@@ -123,7 +123,10 @@ object Curation3 {
     * to end; nothing but the 20-row manifest ever aggregates.
     */
   private val q156BinaryIngest: Q = (s, d) => {
-    val dir = s"/tmp/graft_bin_${new java.io.File(d).getName}"
+    // per-JVM fixture root (Materialize.jvmScratch): concurrent runs on
+    // the same sf can't delete files out from under each other's scans
+    val dir = graft.operators.Materialize.jvmScratch(
+      s"bin_${new java.io.File(d).getName}")
     val payloads = Tables.documents(s, d)
       .groupBy("source")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("ps"))
@@ -219,23 +222,24 @@ object Curation3 {
       .select((col("lang") === "en").cast("int").cast(DoubleType).as("y"),
         (col("n_chars").cast(DoubleType) / lit(1000.0)).as("x"))
       .persist()
-    val n = data.count().toDouble
     var w0 = 0.0; var w1 = 0.0
-    for (_ <- 1 to 3) {
-      val z = lit(w0) + lit(w1) * col("x")
-      val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
-      val r = data.select(
-          ((p - col("y")) / lit(n)).cast(DecimalType(25, 15)).as("g0"),
-          ((p - col("y")) * col("x") / lit(n)).cast(DecimalType(25, 15)).as("g1"))
-        .agg(sum("g0").as("g0"), sum("g1").as("g1"))
-        // the weight update (incl. its 9-digit re-rounding) runs inside
-        // the engine so Spark's and DuckDB's round() are what's compared
-        .select(round(lit(w0) - lit(0.1) * col("g0").cast(DoubleType), 9).as("w0"),
-          round(lit(w1) - lit(0.1) * col("g1").cast(DoubleType), 9).as("w1"))
-        .head()
-      w0 = r.getDouble(0); w1 = r.getDouble(1)
-    }
-    data.unpersist()
+    try {
+      val n = data.count().toDouble
+      for (_ <- 1 to 3) {
+        val z = lit(w0) + lit(w1) * col("x")
+        val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+        val r = data.select(
+            ((p - col("y")) / lit(n)).cast(DecimalType(25, 15)).as("g0"),
+            ((p - col("y")) * col("x") / lit(n)).cast(DecimalType(25, 15)).as("g1"))
+          .agg(sum("g0").as("g0"), sum("g1").as("g1"))
+          // the weight update (incl. its 9-digit re-rounding) runs inside
+          // the engine so Spark's and DuckDB's round() are what's compared
+          .select(round(lit(w0) - lit(0.1) * col("g0").cast(DoubleType), 9).as("w0"),
+            round(lit(w1) - lit(0.1) * col("g1").cast(DoubleType), 9).as("w1"))
+          .head()
+        w0 = r.getDouble(0); w1 = r.getDouble(1)
+      }
+    } finally data.unpersist() // a failed step must not leak the cache
     val sess = s
     import sess.implicits._
     Seq(("w0", w0), ("w1", w1)).toDF("param", "value")

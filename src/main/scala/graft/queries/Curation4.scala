@@ -83,7 +83,10 @@ object Curation4 {
     * is the good/bad accounting plus a checksum over surviving rows.
     */
   private val q163CorruptIngest: Q = (s, d) => {
-    val dir = s"/tmp/graft_jsonl_${new java.io.File(d).getName}"
+    // per-JVM fixture root — concurrent runs on the same sf can't race
+    // the overwrite against another JVM's json scan
+    val dir = graft.operators.Materialize.jvmScratch(
+      s"jsonl_${new java.io.File(d).getName}")
     Tables.documents(s, d)
       .select(when(col("doc_id") % 100 === 7,
           concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"n_chars\": oops")))

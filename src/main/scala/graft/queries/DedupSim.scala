@@ -225,7 +225,12 @@ object DedupSim {
     */
   private val q173IvfIndexed: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val dir = s"/tmp/graft_ivf_${new java.io.File(d).getName}"
+    // per-JVM index path (Materialize.jvmScratch): concurrent JVMs on
+    // the same sf never race an overwrite against a scan, and a
+    // regenerated embeddings fixture can't be shadowed by a stale
+    // index — each JVM builds its own copy once
+    val dir = graft.operators.Materialize.jvmScratch(
+      s"ivf_${new java.io.File(d).getName}")
     // build-once contract (buildIvfIndex doc): a completed write leaves
     // parquet's _SUCCESS marker — rebuild only when it's absent, so
     // the query (and the bench) times the pruned probe, not the build

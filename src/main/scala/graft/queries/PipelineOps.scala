@@ -187,16 +187,21 @@ object PipelineOps {
       .orderBy("lang")
   }
 
-  /** Z-order values over (customer, order) — the Morton interleave
-    * behind `clusterByZ`'s layout rewrite, emitted per row so the
-    * curve itself is oracle-checked bit-for-bit.
+  /** Z-order values over (customer, order) and the 3-key curve
+    * (customer, order, order-day) — the Morton interleaves behind
+    * `clusterByZ`/`clusterByZN`'s layout rewrites, emitted per row so
+    * both curves are oracle-checked bit-for-bit.
     */
   private val q126Zorder: Q = (s, d) =>
     Tables.orders(s, d)
       .select(col("o_orderkey"),
         graft.operators.Layout.zValue(
           pmod(col("o_custkey"), lit(1024)), pmod(col("o_orderkey"), lit(1024)), 10)
-          .as("zval"))
+          .as("zval"),
+        graft.operators.Layout.zValueN(Seq(
+          pmod(col("o_custkey"), lit(1024)), pmod(col("o_orderkey"), lit(1024)),
+          dayofmonth(col("o_orderdate"))), 10)
+          .as("zval3"))
       .orderBy("o_orderkey")
 
   /** Gopher-style rule gate with a rejection-reason breakdown: every
@@ -389,7 +394,11 @@ object PipelineOps {
       """SELECT o_orderkey,
         |  list_sum(list_transform(range(0, 10), b ->
         |    ((((o_custkey % 1024) >> b) & 1) << (2*b))
-        |      + ((((o_orderkey % 1024) >> b) & 1) << (2*b + 1))))::BIGINT AS zval
+        |      + ((((o_orderkey % 1024) >> b) & 1) << (2*b + 1))))::BIGINT AS zval,
+        |  list_sum(list_transform(range(0, 10), b ->
+        |    ((((o_custkey % 1024) >> b) & 1) << (3*b))
+        |      + ((((o_orderkey % 1024) >> b) & 1) << (3*b + 1))
+        |      + (((day(o_orderdate) >> b) & 1) << (3*b + 2))))::BIGINT AS zval3
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q125_merge_upsert" ->
       """WITH changes AS (

@@ -81,7 +81,7 @@ object SqlAndSources {
     */
   private val q32ArrowRoundtrip: Q = (s, d) => {
     val fmt = classOf[graft.sources.ArrowSource].getName
-    val tmp = s"/tmp/graft_arrow_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tmp = graft.operators.Materialize.jvmScratch(s"graft_arrow_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
     Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text")
       .write.format(fmt).mode("overwrite").save(tmp)
     s.read.format(fmt).load(tmp)
@@ -92,7 +92,7 @@ object SqlAndSources {
   }
 
   private val q91CsvRoundtrip: Q = (s, d) => {
-    val tmp = s"/tmp/graft_csv_nation_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tmp = graft.operators.Materialize.jvmScratch(s"graft_csv_nation_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
     Tables.nation(s, d).coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(tmp)
     val back = s.read
@@ -106,7 +106,7 @@ object SqlAndSources {
 
   /** JSON lines sink + source round-trip over supplier. */
   private val q92JsonRoundtrip: Q = (s, d) => {
-    val tmp = s"/tmp/graft_json_supplier_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tmp = graft.operators.Materialize.jvmScratch(s"graft_json_supplier_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
     Tables.supplier(s, d).coalesce(1).write.mode("overwrite").json(tmp)
     s.read
       .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
@@ -238,7 +238,7 @@ object SqlAndSources {
     * beyond parquet; values integer/string/double — lossless trip).
     */
   private val q96OrcRoundtrip: Q = (s, d) => {
-    val tmp = s"/tmp/graft_orc_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tmp = graft.operators.Materialize.jvmScratch(s"graft_orc_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
     Tables.part(s, d).write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .groupBy("p_brand")
@@ -254,7 +254,7 @@ object SqlAndSources {
     * trip is bijective.
     */
   private val q97TextRoundtrip: Q = (s, d) => {
-    val tmp = s"/tmp/graft_text_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tmp = graft.operators.Materialize.jvmScratch(s"graft_text_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
     Tables.documents(s, d)
       .filter(col("doc_id") < 200 && !col("text").contains("\n"))
       .select(col("text"))

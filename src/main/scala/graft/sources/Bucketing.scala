@@ -26,14 +26,19 @@ object Bucketing {
   val Buckets = 8
 
   /** Table names are keyed by the scale-factor dir (sf0.01 →
-    * `orders_b8_sf0_01`), so different-sf JVMs sharing the warehouse
-    * path never clobber each other's layout, and a catalog probe for
-    * THIS dir's table is meaningful after a context restart.
+    * `orders_b8_sf0_01_<h>`), so different-sf JVMs sharing the
+    * warehouse path never clobber each other's layout, and a catalog
+    * probe for THIS dir's table is meaningful after a context restart.
+    * `<h>` is a short hash of the FULL canonical path — two dirs with
+    * the same leaf name under different parents get distinct tables.
     */
   def ordersTable(dir: String): String = s"orders_b8_${suffix(dir)}"
   def lineitemTable(dir: String): String = s"lineitem_b8_${suffix(dir)}"
-  private def suffix(dir: String): String =
-    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+  private def suffix(dir: String): String = {
+    val f = new java.io.File(dir)
+    val h = Integer.toHexString(f.getCanonicalPath.hashCode & 0xffffff)
+    f.getName.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
+  }
 
   /** Dirs whose tables are currently materialized (JVM-wide; the
     * catalog entries live in the SparkContext-shared external catalog,
@@ -48,18 +53,28 @@ object Bucketing {
     * warehouse (the managed path — CTAS with `bucketBy` requires a
     * table, not a bare path).
     */
+  /** The two planner flags the bucketed layout relies on, applied at
+    * SESSION BUILD time (Bench/Verify/SparkSpec), not mutated here —
+    * materializing a layout must not silently change planner behavior
+    * for unrelated queries later in a foreign session.
+    *
+    * - sort-aware bucketed scans are behind a default-off flag since
+    *   Spark 3.1 (the planner otherwise re-sorts pre-sorted buckets);
+    *   safe for this writer because it guarantees exactly one sorted
+    *   file per bucket (see repartition note in [[ensure]])
+    * - DisableUnnecessaryBucketedScan would turn the bucketed scan off
+    *   for non-join queries, forfeiting bucket-filter pruning (point
+    *   lookups reading 1/numBuckets of the files)
+    *
+    * Without these flags the bucketed queries stay CORRECT — the
+    * planner just re-inserts a Sort / plain scan — so a session that
+    * misses them degrades gracefully.
+    */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+
   def ensure(spark: SparkSession, dir: String): Unit = synchronized {
-    // sort-aware bucketed scans are behind a default-off flag since
-    // Spark 3.1 (the planner otherwise re-sorts pre-sorted buckets);
-    // safe here because this writer guarantees the layout the flag
-    // assumes — exactly one sorted file per bucket (see repartition
-    // note below)
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    // ... and DisableUnnecessaryBucketedScan would turn the bucketed
-    // scan off for non-join queries, which also forfeits bucket-filter
-    // pruning (point lookups reading 1/numBuckets of the files) — keep
-    // bucket-aware scans on for sessions that opted into this layout
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val (ot, lt) = (ordersTable(dir), lineitemTable(dir))
     val present = builtFor.contains(dir) &&
       spark.catalog.tableExists(ot) && spark.catalog.tableExists(lt)

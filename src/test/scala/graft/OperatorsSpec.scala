@@ -382,6 +382,25 @@ class OperatorsSpec extends SparkSpec {
     assert(m(1).getString(1) == "aa" && m(1).getString(2) == "aa" && m(1).getLong(4) == 1L)
   }
 
+  test("BPE batched rounds are bit-identical to classic one-merge-per-round") {
+    import spark.implicits._
+    // a real-text vocabulary with ties, overlapping candidates, and
+    // chainable merges — the shapes the batch safety rules exist for
+    val corpus = "the quick brown fox jumps over the lazy dog " +
+      "the quicker foxes jumped over lazy dogs then the dog ran"
+    val vocab = Seq(corpus).toDF("text")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    def learned(maxBatch: Int) =
+      graft.operators.Bpe.learnMerges(spark, vocab, rounds = 12, maxBatch)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val classic = learned(maxBatch = 1)
+    val batched = learned(maxBatch = 8)
+    assert(batched == classic,
+      s"batched merges diverged from classic greedy:\n$batched\nvs\n$classic")
+  }
+
   test("BPE applyMerges agrees with encodeVocab and tokenizes unseen text") {
     import spark.implicits._
     val corpus = Seq(("low lower lowest low low", 1)).toDF("text", "x")

@@ -24,6 +24,9 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // bucketed-layout planner flags — session-build-time opt-in, see
+    // Bucketing.sessionConfs
+    graft.sources.Bucketing.sessionConfs.foreach { case (k, v) => s.conf.set(k, v) }
     s.sparkContext.setLogLevel("WARN")
     s
   }
