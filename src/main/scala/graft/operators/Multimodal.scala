@@ -13,11 +13,13 @@ import java.security.MessageDigest
   * no driver involvement, the exact shape a real decoder (JNI to
   * libjpeg/ffmpeg) would plug into.
   *
-  * STUB NOTE: this container has no image/audio codecs, so
-  * [[decodeFeatures]] computes a deterministic fake "decode" (payload
-  * length, md5-derived checksum, head-bytes hex as the "first frame").
-  * The Spark-side plumbing — binary columns, metadata struct, typed
-  * partition-wise decode, batch shape — is real and oracle-tested.
+  * Image decode is REAL: [[decodeImageStats]] runs
+  * `javax.imageio.ImageIO.read` (public JDK API — pure-Java PNG/JPEG
+  * plugins, headless-safe) inside the partition-wise kernel, and
+  * [[encodeTestImage]] produces genuinely PNG/JPEG-compressed blobs
+  * for it. [[decodeFeatures]] remains the deterministic-fake fallback
+  * for codec-less payloads (audio/video, where this container has no
+  * decoder): payload length, md5-derived checksum, head-bytes hex.
   */
 object Multimodal {
 
@@ -116,6 +118,85 @@ object Multimodal {
           f += 1
         }
         FrameSample(m.id, nFrames, n, hash60(md, buf.toByteArray))
+      }
+    }
+  }
+
+  case class ImageStats(id: Long, format: String, width: Int, height: Int,
+      sumR: Long, sumG: Long, sumB: Long, nPx: Long, ok: Boolean)
+
+  /** Deterministic RGB test-pattern raster, encoded with a REAL codec:
+    * pixel (x, y) of image `id` is
+    * (r, g, b) = ((x+id)%256, (y+2·id)%256, (x+y+3·id)%256),
+    * PNG- or JPEG-compressed via `javax.imageio` (public JDK API; the
+    * PNG/JPEG plugins are pure-Java and headless-safe). PNG is
+    * lossless, so a decode of this blob must reproduce the formula
+    * exactly — which is what lets a SQL oracle check the decoder
+    * bit-for-bit without any image library of its own.
+    */
+  def encodeTestImage(id: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    require(w > 0 && h > 0, s"image dims must be positive, got ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x + id) % 256).toInt
+        val g = ((y + 2 * id) % 256).toInt
+        val b = ((x + y + 3 * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, bos))
+      throw new java.io.IOException(s"no imageio writer for format $format")
+    bos.toByteArray
+  }
+
+  /** REAL image decode — `javax.imageio.ImageIO.read` over binary
+    * blobs in a partition-wise kernel (the same shape as the
+    * deterministic-fake [[decodeFeatures]], which stays as the
+    * no-codec fallback). Emits per-blob (width, height, per-channel
+    * pixel sums): exact integers, so a lossless format's output is
+    * oracle-checkable against the generating formula, and any format's
+    * dimensions check the header/decode path. Undecodable payloads
+    * yield an `ok=false` row — quarantine accounting, never a job
+    * failure (the crawl-ingest posture).
+    *
+    * @param blobs (id, format, content) rows — e.g. `binaryFile` reads
+    *   with the id/format parsed from the path
+    */
+  def decodeImageStats(blobs: Dataset[(Long, String, Array[Byte])]): Dataset[ImageStats] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { rows =>
+      rows.map { case (id, format, bytes) =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) ImageStats(id, format, -1, -1, 0L, 0L, 0L, 0L, ok = false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImageStats(id, format, w, h, sr, sg, sb, w.toLong * h, ok = true)
+          }
+        } catch {
+          case _: Exception => ImageStats(id, format, -1, -1, 0L, 0L, 0L, 0L, ok = false)
+        }
       }
     }
   }

@@ -386,7 +386,62 @@ object Curation4 {
       .orderBy("event_type", "minute_idx")
   }
 
+  /** REAL image decode, end to end: deterministic RGB test-pattern
+    * rasters (pixel (x,y) of image id = ((x+id)%256, (y+2id)%256,
+    * (x+y+3id)%256)) are PNG/JPEG-compressed executor-side via
+    * `javax.imageio` ([[graft.operators.Multimodal.encodeTestImage]]),
+    * land on disk as real image files, come back through Spark's
+    * `binaryFile` source as opaque blobs, and are decoded by the
+    * partition-wise `ImageIO.read` kernel
+    * ([[graft.operators.Multimodal.decodeImageStats]]). Output =
+    * per-image (width, height, exact per-channel pixel sums). PNG is
+    * lossless, so the decoded sums must equal the generating formula —
+    * which the DuckDB oracle computes arithmetically, no image library
+    * needed: a bit-exact cross-engine check that the decode is real.
+    * JPEG rows check the header/decode path via dimensions (sums are
+    * lossy → NULL by contract).
+    */
+  private val q178ImageDecode: Q = (s, d) => {
+    import graft.operators.{Materialize, Multimodal}
+    val dir = Materialize.jvmScratch(s"img_${new java.io.File(d).getName}")
+    // encode-once per JVM (the fixture is input data, not query work);
+    // "_DONE" starts with '_' so Spark's file source ignores it
+    val marker = new java.io.File(dir, "_DONE")
+    if (!marker.isFile) {
+      new java.io.File(dir).mkdirs()
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"))
+        .repartition(4)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val fmt = if (id % 10 == 0) "png" else "jpg"
+            val bytes = Multimodal.encodeTestImage(
+              id, (16 + id % 17).toInt, (12 + id % 13).toInt, fmt)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$dir/$id.$fmt"), bytes)
+          }
+        }
+      marker.createNewFile()
+    }
+    import s.implicits._
+    val blobs = s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.(png|jpg)$", 1).cast("long").as("_1"),
+        regexp_extract(col("path"), "([0-9]+)\\.(png|jpg)$", 2).as("_2"),
+        col("content").as("_3"))
+      .as[(Long, String, Array[Byte])]
+    Multimodal.decodeImageStats(blobs)
+      .select(col("id"), col("format"), col("width"), col("height"),
+        when(col("format") === "png", col("sumR")).as("sum_r"),
+        when(col("format") === "png", col("sumG")).as("sum_g"),
+        when(col("format") === "png", col("sumB")).as("sum_b"),
+        col("nPx").as("n_px"))
+      .orderBy("id", "format")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q178_image_decode" -> q178ImageDecode,
     "q177_volume_anomaly" -> q177VolumeAnomaly,
     "q168_robust_stats" -> q168RobustStats,
     "q170_bucketed_agg" -> q170BucketedAgg,
@@ -403,6 +458,27 @@ object Curation4 {
     "q167_incremental_agg" -> q167IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
+    // the oracle re-derives the PNG pixel sums from the generating
+    // formula arithmetically — lossless codec means the engine's real
+    // ImageIO decode must reproduce them bit-for-bit; JPEG rows are
+    // dimension-checked (lossy sums are NULL by contract)
+    "q178_image_decode" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, 'png' AS format,
+        |    16 + doc_id % 17 AS w, 12 + doc_id % 13 AS h
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'jpg', 16 + doc_id % 17, 12 + doc_id % 13
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |px AS (
+        |  SELECT id, format, w, h, p % w AS x, p // w AS y
+        |  FROM ids, unnest(range(0, w*h)) AS t(p))
+        |SELECT id, format, w::INT AS width, h::INT AS height,
+        |  CASE WHEN format = 'png' THEN SUM((x + id) % 256)::BIGINT END AS sum_r,
+        |  CASE WHEN format = 'png' THEN SUM((y + 2*id) % 256)::BIGINT END AS sum_g,
+        |  CASE WHEN format = 'png' THEN SUM((x + y + 3*id) % 256)::BIGINT END AS sum_b,
+        |  (w*h)::BIGINT AS n_px
+        |FROM px GROUP BY id, format, w, h ORDER BY id, format""".stripMargin,
     "q177_volume_anomaly" ->
       """WITH pm AS (SELECT event_type, epoch_ms(ts) // 60000 AS minute_idx,
         |    count(*) AS n

@@ -382,6 +382,32 @@ class OperatorsSpec extends SparkSpec {
     assert(m(1).getString(1) == "aa" && m(1).getString(2) == "aa" && m(1).getLong(4) == 1L)
   }
 
+  test("imageio decode: PNG round-trips the formula exactly; JPEG dims; garbage quarantined") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // golden values: 4x3 image id=7 — r=(x+7)%256, g=(y+14)%256, b=(x+y+21)%256
+    // sum_r = 3*(7+8+9+10) = 102; sum_g = 4*(14+15+16) = 180
+    // sum_b = sum over x in 0..3, y in 0..2 of (21+x+y) = 12*21 + 3*(0+1+2+3) + 4*(0+1+2) = 282
+    val png = Multimodal.encodeTestImage(7L, 4, 3, "png")
+    val jpg = Multimodal.encodeTestImage(7L, 4, 3, "jpg")
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt),
+      "encodeTestImage must emit a real PNG container")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8,
+      "encodeTestImage must emit a real JPEG container (SOI marker)")
+    val blobs = Seq((7L, "png", png), (7L, "jpg", jpg),
+      (9L, "png", "not an image".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.decodeImageStats(blobs).collect()
+      .map(s => (s.id, s.format) -> s).toMap
+    val p = out((7L, "png"))
+    assert(p.ok && p.width == 4 && p.height == 3 && p.nPx == 12)
+    assert((p.sumR, p.sumG, p.sumB) == ((102L, 180L, 282L)),
+      s"lossless PNG decode must reproduce the generating formula, got $p")
+    val j = out((7L, "jpg"))
+    assert(j.ok && j.width == 4 && j.height == 3, s"JPEG decode failed: $j")
+    val bad = out((9L, "png"))
+    assert(!bad.ok, "undecodable payload must quarantine, not throw")
+  }
+
   test("BPE batched rounds are bit-identical to classic one-merge-per-round") {
     import spark.implicits._
     // a real-text vocabulary with ties, overlapping candidates, and
