@@ -424,6 +424,15 @@ object Dedup {
     * chunk buckets saturate at 2^(16/(d+1)) values and the pigeonhole
     * join's Σ bucket² goes quadratic on a web-scale corpus; 16-bit
     * chunks of a 64-bit sketch keep buckets sparse.
+    *
+    * Kernel cost shape (the 16→64-bit upgrade made the vote loop the
+    * cost center): the per-bit vote counts ONES branchlessly (`ones ×2
+    * ≥ n` ⟺ the ±1 tally ≥ 0 — random sketch bits made the ±1 branch
+    * mispredict half the time), and word hashes memoize in a bounded
+    * per-partition map — corpus word frequency is Zipfian, so most
+    * occurrences hit the cache instead of re-running md5. The Hamming
+    * side needs no custom expression: Spark's `bit_count` is already
+    * codegen'd `Long.bitCount` (see [[simhashNearDupPairs]]).
     */
   private[graft] def simhashSketches(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -435,26 +444,43 @@ object Dedup {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // word -> hash memo, capped so a pathological vocabulary can't
+        // grow executor memory unboundedly (Zipf → high hit rate long
+        // before the cap)
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 16)
+        val memoCap = 1 << 20
+        def wordHash(wd: String): Long = {
+          val cached = memo.get(wd)
+          if (cached != null) cached.longValue()
+          else {
+            md.reset()
+            val dg = md.digest(wd.getBytes("UTF-8"))
+            var h = 0L
+            var k = 0
+            while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+            if (memo.size < memoCap) memo.put(wd, h)
+            h
+          }
+        }
         it.map { case (id, ws) =>
           val seen = new java.util.HashSet[String]()
-          val counts = new Array[Int](64)
+          val ones = new Array[Int](64)
+          var n = 0
           ws.foreach { wd =>
             if (seen.add(wd)) {
-              md.reset()
-              val dg = md.digest(wd.getBytes("UTF-8"))
-              var h = 0L
-              var k = 0
-              while (k < 8) { h = (h << 8) | (dg(k) & 0xffL); k += 1 }
+              val h = wordHash(wd)
+              n += 1
               var b = 0
               while (b < 64) {
-                counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+                ones(b) += ((h >>> b) & 1L).toInt // branchless ones tally
                 b += 1
               }
             }
           }
           var sh = 0L
           var b = 0
-          while (b < 64) { if (counts(b) >= 0) sh |= 1L << b; b += 1 }
+          // majority vote: ±1 tally ≥ 0 ⟺ 2·ones ≥ n
+          while (b < 64) { if (2 * ones(b) >= n) sh |= 1L << b; b += 1 }
           (id, sh)
         }
       }.toDF("id", "sh64")

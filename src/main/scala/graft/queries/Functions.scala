@@ -126,17 +126,30 @@ object Functions {
   }
 
   /** JSON functions over events.props ({"k": int}): extraction, cast,
-    * aggregation of extracted values.
+    * aggregation of extracted values — plus the dynamic-ingest path:
+    * `schema_of_json` infers the props DDL from one sampled row
+    * (bounded driver state, the standard schema-on-read pattern),
+    * `from_json` parses EVERY row with that inferred schema, and the
+    * typed struct field aggregates beside the string-extracted one.
+    * The inferred DDL itself is an output column, cross-checked
+    * against the oracle's expected `STRUCT<k: BIGINT>`.
     */
   private val q56JsonFuncs: Q = (s, d) => {
-    Tables.events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+    val ev = Tables.events(s, d)
+    val sample = ev.filter(col("props").isNotNull)
+      .select(col("props")).head().getString(0)
+    val ddl = ev.sparkSession.range(1)
+      .select(schema_of_json(lit(sample)).as("s")).head().getString(0)
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .withColumn("j", from_json(col("props"), ddl, Map.empty[String, String]))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"),
-        max(col("k")).as("max_k"))
+        max(col("k")).as("max_k"),
+        sum(col("j.k")).as("sum_k_typed"),
+        min(lit(ddl)).as("inferred_schema"))
       .orderBy("event_type")
   }
 
@@ -256,7 +269,9 @@ object Functions {
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k_typed,
+        |  'STRUCT<k: BIGINT>' AS inferred_schema
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q57_explode" ->
       """SELECT word, count(*) AS n FROM (

@@ -204,6 +204,37 @@ object PipelineOps {
           .as("zval3"))
       .orderBy("o_orderkey")
 
+  /** Dynamic partition pruning — the third pruning tier after static
+    * partition filters (q166) and bucket pruning (q152): the fact side
+    * is DATE-PARTITIONED on disk, the filter lives on the DIM side
+    * only (Mondays), and the partitions to read are discovered at
+    * RUNTIME from the dim join keys — the planner injects a
+    * `dynamicpruning` subquery into the fact scan (pinned in
+    * PlanQualitySpec), so at 100 TB the fact scan reads ~1/7 of its
+    * partitions with no static predicate available to it. The
+    * partitioned layout is written once per JVM (layout is input, not
+    * query work — same contract as the bucketed tables).
+    */
+  private val q179DppJoin: Q = (s, d) => {
+    val dir = graft.operators.Materialize.jvmScratch(
+      s"events_bydate_${new java.io.File(d).getName}")
+    if (!new java.io.File(dir, "_SUCCESS").isFile)
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val fact = s.read.parquet(dir)
+    // calendar dim: distinct dates (a metadata-cheap scan of the
+    // partition column) carrying the weekday attribute the fact side
+    // doesn't have — the filter is SEMANTICALLY dim-only, which is
+    // exactly what makes static pruning impossible and DPP necessary
+    val mondays = fact.select(col("event_date")).distinct()
+      .filter(dayofweek(col("event_date")) === 2)
+    fact.join(broadcast(mondays), "event_date")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   /** Gopher-style rule gate with a rejection-reason breakdown: every
     * doc gets its first failed rule (or "pass"), reported per
     * (source, reason) — the curation dashboard that tells you WHY the
@@ -313,6 +344,7 @@ object PipelineOps {
     "q130_gopher_rules" -> q130GopherRules,
     "q131_bloom_semi_join" -> q131BloomSemiJoin,
     "q126_zorder" -> q126Zorder,
+    "q179_dpp_join" -> q179DppJoin,
     "q125_merge_upsert" -> q125MergeUpsert,
     "q114_mixture_sample" -> q114MixtureSample,
     "q113_importance_weights" -> q113ImportanceWeights,
@@ -390,6 +422,11 @@ object PipelineOps {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q179_dpp_join" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE dayofweek(ts::DATE) = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q126_zorder" ->
       """SELECT o_orderkey,
         |  list_sum(list_transform(range(0, 10), b ->

@@ -14,8 +14,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** JVM-wide (path → schema) memo: parquet schema inference reads
+    * file footers and runs once per (session, table) — a fresh session
+    * (Bench isolation mode, a new SQL client) re-paid it for all 10
+    * tables before its first query could plan, the bulk of the
+    * measured cold-session tax. The schema of a harness table is
+    * immutable for the life of the JVM (same contract as the per-JVM
+    * fixture dirs), so later sessions read with an explicit schema:
+    * zero inference I/O. Bounded driver state: one StructType per
+    * table path.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

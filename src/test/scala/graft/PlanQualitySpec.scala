@@ -69,6 +69,17 @@ class PlanQualitySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
 
+  test("q179 dynamic partition pruning: fact scan carries a dynamicpruning subquery") {
+    // the filter (Mondays) lives only on the dim side; the date-
+    // partitioned fact scan must discover its partitions at runtime —
+    // DPP injects a dynamicpruning expression into PartitionFilters
+    val q = SparkEntry.queries("q179_dpp_join")(spark, sf)
+    q.collect() // executedPlan with AQE finalizes after execution
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$p")
+  }
+
   test("q73 ngram-jaccard: block-key shuffle in executors, no driver broadcast") {
     val p = plan("q73_dedup_ngram_jaccard")
     // the kernel must run per-block after a hash shuffle on blk —
