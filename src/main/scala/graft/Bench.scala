@@ -55,7 +55,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional comma-separated name-prefix filter (local iteration on a
+    // subset; the driver sets no filter and measures everything)
+    val nameFilter: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(pfx) => { val ps = pfx.split(","); n => ps.exists(n.startsWith) }
+      case None => _ => true
+    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1).filter(t => nameFilter(t._1))
     val results = sorted.map { case (name, fn) => name -> timeOne(spark, name, fn) }
     // Second pass with per-query session isolation: a fresh session
     // (own temp views, conf, cached plans) and a cleared context-wide

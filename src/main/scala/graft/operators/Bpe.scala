@@ -85,17 +85,21 @@ object Bpe {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // "  k  e  y  " — two-space separators (see class doc).
     //
-    // Each Spark round: persist + EAGERLY materialize the |V|-row repr
-    // table (the k-means/label-propagation pattern), unpersist the
-    // superseded round (only ONE cached copy of the vocabulary lives at
-    // a time), then collect a small top-k candidate block to the driver
-    // and bake the accepted merges into the next round as literals.
-    // This keeps every round's lineage FLAT — one cached table + one
-    // replace chain — where a lazy crossJoin(broadcast(limit-1)) chain
-    // made fresh-session runs re-derive earlier rounds inside each
-    // broadcast job (measured 24 s isolated vs 4 s warm at sf0.1). The
-    // driver holds exactly `rounds` merge rows — bounded model state,
-    // the same contract as collected k-means centroids.
+    // Each Spark round: rewrite the |V|-row repr table and spill it to
+    // run-scoped parquet (Materialize.spillRelease), then collect a
+    // small top-k candidate block to the driver and bake the accepted
+    // merges into the next round as literals. The spill makes every
+    // round's lineage GENUINELY flat — a bare parquet scan — which is
+    // what bounds memory for real vocab training: a withColumn/persist
+    // chain keeps each round's logical plan nested inside the next
+    // (execution stays incremental through the cache, but
+    // analysis/optimizer state grows with every round — measured OOM
+    // before round 20 on a 4 GiB driver), and a lazy
+    // crossJoin(broadcast(limit-1)) chain was worse still (fresh
+    // sessions re-derived all earlier rounds inside each broadcast
+    // job: 24 s isolated vs 4 s warm at sf0.1). The driver holds
+    // exactly `rounds` merge rows — bounded model state, the same
+    // contract as collected k-means centroids.
     //
     // BATCHED ROUNDS, bit-identical to classic one-merge-per-round
     // greedy BPE: per round, take the maximal PREFIX of the
@@ -114,16 +118,28 @@ object Bpe {
     //    and cannot out-rank them in any intermediate round;
     //  - the head of the prefix is literally the classic argmax.
     // So sequential greedy would pick exactly these pairs, in this
-    // order, over the next |batch| rounds — 30k-merge vocab training
-    // collapses from 30k driver round-trips to ~rounds/maxBatch jobs
-    // with an unchanged merge list (BpeSpec pins batched ≡ classic).
-    var repr = vocab.select(col("word"), col("freq"),
-      concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("repr"))
-      .persist()
-    repr.count()
+    // order, over the next |batch| rounds, with an unchanged merge
+    // list (OperatorsSpec pins batched ≡ classic). Honesty note on
+    // batch width: natural-language pair weights are tie-dense (the
+    // Zipf tail), so on the harness corpora the strict floor usually
+    // truncates the batch to 1 — batching engages where weights
+    // decouple (early high-count merges, multi-corpus weight mixes).
+    // The measured 2× for long trainings comes from the spill cadence
+    // below; the batching is the semantics-preserving fast path on
+    // top, never a different algorithm.
+    var repr = Materialize.spillRelease(
+      vocab.select(col("word"), col("freq"),
+        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("repr")))
     val mergeRows = Seq.newBuilder[(Int, String, String, String, Long)]
     var learned = 0
     var exhausted = false
+    // spill cadence: chain up to this many lazy rewrite rounds on top
+    // of the last spilled table before re-spilling — re-evaluating a
+    // few replace projections inside the next pair count is far
+    // cheaper than a parquet round-trip per round, while the bounded
+    // chain depth keeps analyzer/optimizer state flat
+    val spillEvery = 8
+    var sinceSpill = 0
     while (learned < rounds && !exhausted) {
       val toks = repr.select(col("freq"), split(trim(col("repr")), "  ").as("t"))
         .filter(size(col("t")) >= 2) // sequence(2,1) would run backwards
@@ -158,26 +174,27 @@ object Bpe {
           learned += 1
           mergeRows += ((learned, l, rr, l + rr, w))
         }
-        val prev = repr
         repr = repr.withColumn("repr",
-            batch.foldLeft(col("repr")) { case (acc, (l, rr, _)) =>
-              org.apache.spark.sql.functions.replace(acc,
-                lit(s" $l  $rr "), lit(s" $l$rr "))
-            })
-          .persist()
-        repr.count()
-        prev.unpersist()
+          batch.foldLeft(col("repr")) { case (acc, (l, rr, _)) =>
+            org.apache.spark.sql.functions.replace(acc,
+              lit(s" $l  $rr "), lit(s" $l$rr "))
+          })
+        sinceSpill += 1
+        if (sinceSpill >= spillEvery) {
+          repr = Materialize.spillRelease(repr)
+          sinceSpill = 0
+        }
       }
     }
+    // flatten any trailing lazy rounds so the returned repr (and the
+    // encode path built on it) is a bare parquet scan
+    if (sinceSpill > 0 && needRepr) repr = Materialize.spillRelease(repr)
     val sq = spark
     import sq.implicits._
     val merges = mergeRows.result()
       .toDF("round", "lhs", "rhs", "merged", "weight")
-    // learn-only callers already hold the merge rows on the driver —
-    // skip the repr spill entirely and just drop the last cache
-    val reprOut =
-      if (needRepr) Materialize.spillRelease(repr, repr)
-      else { repr.unpersist(); repr }
-    (merges, reprOut)
+    // repr is already spill-backed (a bare parquet scan) — nothing
+    // cached to release on either path
+    (merges, repr)
   }
 }

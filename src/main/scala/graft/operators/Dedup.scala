@@ -440,8 +440,7 @@ object Dedup {
     import spark.implicits._
     Kernels.fanOut(
         df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t")))
-      .select(col("id"), words(col("t")).as("w"))
-      .as[(Long, Seq[String])]
+      .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         // word -> hash memo, capped so a pathological vocabulary can't
@@ -462,21 +461,52 @@ object Dedup {
             h
           }
         }
-        it.map { case (id, ws) =>
+        // SWAR bit tally: 8 long lanes, lane k byte j counting bit
+        // (8j + k) of the word hashes — (h >>> k) & 0x0101..01 drops
+        // each selected bit into its own byte, so one add tallies 8
+        // bit positions at once: 8 ops per word instead of 64. Byte
+        // lanes hold ≤ 255, so tallies flush to the int array every
+        // 255 words (never for typical docs).
+        val ones = new Array[Int](64)
+        val lanes = new Array[Long](8)
+        val Mask = 0x0101010101010101L
+        var pend = 0
+        def flush(): Unit = {
+          var k = 0
+          while (k < 8) {
+            val L = lanes(k)
+            var j = 0
+            while (j < 8) {
+              ones(8 * j + k) += ((L >>> (8 * j)) & 0xffL).toInt
+              j += 1
+            }
+            lanes(k) = 0L
+            k += 1
+          }
+          pend = 0
+        }
+        it.map { case (id, t) =>
+          java.util.Arrays.fill(ones, 0)
+          java.util.Arrays.fill(lanes, 0L)
+          pend = 0
+          // split in the kernel (limit -1 keeps trailing empties —
+          // bit-matching the declarative `split(text, " ")`): the row
+          // crosses the encoder as one string instead of a
+          // per-element-converted catalyst array
+          val ws = t.split(" ", -1)
           val seen = new java.util.HashSet[String]()
-          val ones = new Array[Int](64)
           var n = 0
           ws.foreach { wd =>
             if (seen.add(wd)) {
               val h = wordHash(wd)
               n += 1
-              var b = 0
-              while (b < 64) {
-                ones(b) += ((h >>> b) & 1L).toInt // branchless ones tally
-                b += 1
-              }
+              var k = 0
+              while (k < 8) { lanes(k) += (h >>> k) & Mask; k += 1 }
+              pend += 1
+              if (pend == 255) flush()
             }
           }
+          flush()
           var sh = 0L
           var b = 0
           // majority vote: ±1 tally ≥ 0 ⟺ 2·ones ≥ n
