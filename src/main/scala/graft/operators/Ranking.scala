@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global sequence numbers (dense 1..n over a total order)
+  * without the single-partition window that a bare
+  * `row_number() OVER (ORDER BY ...)` plans to.
+  *
+  * Shape: range-repartition on the sort key (the same distributed-sort
+  * machinery as `orderBy`), spill the bucketed rows once so every
+  * downstream job sees identical buckets (range boundaries are SAMPLED
+  * per action, so two jobs over an unspilled repartitionByRange could
+  * disagree about bucket membership), then a per-bucket `row_number`
+  * (a window keyed by the bucket id — fully parallel) plus each
+  * bucket's global offset from a |buckets|-row count collect (bounded
+  * driver metadata, the zipWithIndex contract). The resulting rank
+  * depends only on the total order, never on where the sampled
+  * boundaries fall.
+  *
+  * At 100 TB this is the standard terasort ending: one sorted
+  * materialization pass (usually the very output being produced) and a
+  * metadata-sized offset exchange.
+  */
+private[graft] object Ranking {
+
+  /** Append a dense global rank column named `rankName`, ranked by
+    * `order` (which must be a total order — add a unique tiebreaker).
+    */
+  def globalRank(df: DataFrame, rankName: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(2, spark.sessionState.conf.numShufflePartitions / 2)
+    val bucketed = Materialize.spillRelease(
+      df.repartitionByRange(parts, order: _*)
+        .withColumn("__bkt", spark_partition_id()))
+    val counts = bucketed.groupBy("__bkt").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val o = (b, acc); acc += c; o }
+    val offDf = offsets.toSeq.toDF("__bkt", "__off")
+    val w = Window.partitionBy(col("__bkt")).orderBy(order: _*)
+    bucketed.withColumn("__lrn", row_number().over(w))
+      .join(broadcast(offDf), "__bkt")
+      .withColumn(rankName, col("__off") + col("__lrn"))
+      .drop("__bkt", "__lrn", "__off")
+  }
+}

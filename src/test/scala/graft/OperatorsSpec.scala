@@ -462,4 +462,24 @@ class OperatorsSpec extends SparkSpec {
       .count()
     assert(bucketed == plain && plain > 0)
   }
+
+  test("globalRank equals the single-partition window rank, and re-evaluates identically") {
+    val df = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), length(col("text")).as("k"))
+    val ranked = graft.operators.Ranking.globalRank(
+      df, "rank", col("k").desc, col("doc_id").asc)
+    val expected = df.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("k").desc, col("doc_id").asc)))
+    val a = ranked.select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = expected.select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    assert(a == b, s"globalRank diverges from the window oracle")
+    // second evaluation reads the same spilled buckets — ranks cannot
+    // drift across jobs the way resampled range boundaries could
+    val a2 = ranked.select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a2 == a)
+  }
 }

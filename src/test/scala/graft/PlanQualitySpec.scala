@@ -451,4 +451,16 @@ class PlanQualitySpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p)  // "*" prefix marks codegen stages
   }
+
+  test("q183 PQ search: codebook and query tables broadcast, corpus side never nested-loops") {
+    val p = plan("q183_pq_search")
+    assert(p.contains("BroadcastHashJoin"), s"codebook/query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ADC lookup must stay an equi-join:\n$p")
+  }
+
+  test("q182 shard balance: global rank goes through bucketed windows, not one partition") {
+    val p = plan("q182_shard_balance")
+    assert(p.contains("__bkt"), s"expected the bucket-keyed rank path:\n$p")
+  }
 }
