@@ -150,12 +150,12 @@ object Curation5 {
       .select(col("s"), col("vec_id").cast("int").as("cid"), col("v").as("c"))
     def d2 = aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
-    val codes = sub.filter(col("vec_id") % 100 =!= 7)
+    val codes = sub.filter(!(col("vec_id") % 100 === 7 && col("vec_id") < 1000))
       .join(broadcast(cents), Seq("s"))
       .select(col("vec_id").as("x_id"), col("s"), col("cid"), d2.as("d2"))
       .groupBy("x_id", "s").agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("x_id"), col("s"), col("m.cid").as("code"))
-    val qd = sub.filter(col("vec_id") % 100 === 7)
+    val qd = sub.filter(col("vec_id") % 100 === 7 && col("vec_id") < 1000)
       .join(broadcast(cents), Seq("s"))
       .select(col("vec_id").as("q_id"), col("s").as("qs"), col("cid").as("qcid"),
         d2.cast(DecimalType(25, 12)).as("qd2"))
@@ -320,7 +320,7 @@ object Curation5 {
         |cents AS (SELECT s, vec_id::INT cid, sv c FROM sub WHERE vec_id < 16),
         |dist AS (SELECT t.vec_id, t.s, c.cid,
         |    list_sum([(t.sv[i] - c.c[i]) * (t.sv[i] - c.c[i]) for i in range(1, 9)]) d2
-        |  FROM sub t JOIN cents c USING (s) WHERE t.vec_id % 100 <> 7),
+        |  FROM sub t JOIN cents c USING (s) WHERE NOT (t.vec_id % 100 = 7 AND t.vec_id < 1000)),
         |best AS (SELECT vec_id AS x_id, s, cid AS code FROM (
         |    SELECT vec_id, s, cid,
         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) rn FROM dist)
@@ -328,7 +328,7 @@ object Curation5 {
         |qd AS (SELECT t.vec_id q_id, t.s, c.cid,
         |    CAST(list_sum([(t.sv[i] - c.c[i]) * (t.sv[i] - c.c[i]) for i in range(1, 9)])
         |      AS DECIMAL(25,12)) qd2
-        |  FROM sub t JOIN cents c USING (s) WHERE t.vec_id % 100 = 7),
+        |  FROM sub t JOIN cents c USING (s) WHERE t.vec_id % 100 = 7 AND t.vec_id < 1000),
         |pd AS (SELECT q.q_id, b.x_id, sum(q.qd2) dist
         |  FROM best b JOIN qd q ON q.s = b.s AND q.cid = b.code GROUP BY 1, 2),
         |rk AS (SELECT q_id, x_id, dist,

@@ -93,9 +93,9 @@ object Curation7 {
     val sub = e
       .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"), col("e"))
       .select(col("vec_id"), col("s"), slice(col("e"), col("s") * 8 + 1, lit(8)).as("v"))
-    val qs = sub.filter(col("vec_id") % 100 === 7)
+    val qs = sub.filter(col("vec_id") % 100 === 7 && col("vec_id") < 1000)
       .select(col("vec_id").as("q_id"), col("s").as("qi"), col("v").as("qv"))
-    val xs = sub.filter(col("vec_id") % 100 =!= 7)
+    val xs = sub.filter(!(col("vec_id") % 100 === 7 && col("vec_id") < 1000))
       .select(col("vec_id").as("x_id"), col("v").as("xv"))
     val dot = aggregate(zip_with(col("qv"), col("xv"), (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x)
@@ -179,8 +179,8 @@ object Curation7 {
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
         |sub AS (SELECT vec_id, s, e[s*8+1 : s*8+8] AS sv
         |  FROM v, (SELECT unnest(range(0, 8)) s) ss),
-        |qs AS (SELECT vec_id q_id, s qi, sv qv FROM sub WHERE vec_id % 100 = 7),
-        |xs AS (SELECT vec_id x_id, sv xv FROM sub WHERE vec_id % 100 <> 7),
+        |qs AS (SELECT vec_id q_id, s qi, sv qv FROM sub WHERE vec_id % 100 = 7 AND vec_id < 1000),
+        |xs AS (SELECT vec_id x_id, sv xv FROM sub WHERE NOT (vec_id % 100 = 7 AND vec_id < 1000)),
         |dots AS (SELECT q_id, x_id, qi,
         |    max(list_sum([qv[i] * xv[i] for i in range(1, 9)])) mx
         |  FROM qs JOIN xs ON TRUE GROUP BY q_id, x_id, qi),
