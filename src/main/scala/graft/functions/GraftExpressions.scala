@@ -198,6 +198,92 @@ case class ExplodeShingles(child: Expression, n: Expression)
     copy(child = newChildren(0), n = newChildren(1))
 }
 
+/** Luhn checksum validation (ISO/IEC 7812) over a digit string, as a
+  * native codegen'd Catalyst expression — the precision gate a PII
+  * scanner runs after its regex pass: a 13–19-digit run is only a
+  * plausible payment-card number if its Luhn check digit holds, which
+  * cuts regex false positives by ~90% (only 1 in 10 random digit
+  * strings passes). One tight byte loop per row, no allocation, stays
+  * inside whole-stage codegen. Returns NULL for strings containing
+  * any non-digit (not a candidate), matching the scan contract.
+  */
+case class LuhnCheckExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_luhn"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got ${child.dataType.simpleString}")
+
+  // shared by eval and codegen: digits-only guard + checksum in one pass
+  // over the UTF-8 bytes (digits are single-byte code points)
+  @inline private def luhnOf(bytes: Array[Byte]): Any = {
+    val n = bytes.length
+    if (n == 0) return null
+    var s = 0
+    var p = 0 // position from the RIGHT (0 = check digit)
+    var i = n - 1
+    while (i >= 0) {
+      val b = bytes(i)
+      if (b < '0' || b > '9') return null
+      val d = b - '0'
+      val dd = if ((p & 1) == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      s += dd
+      p += 1
+      i -= 1
+    }
+    s % 10 == 0
+  }
+
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else luhnOf(v.asInstanceOf[UTF8String].getBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val bytes = ctx.freshName("bytes")
+    val s = ctx.freshName("s")
+    val p = ctx.freshName("p")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    val bad = ctx.freshName("bad")
+    val bv = ctx.freshName("bv")
+    ev.copy(code =
+      code"""
+           |${childGen.code}
+           |boolean ${ev.isNull} = true;
+           |boolean ${ev.value} = false;
+           |if (!${childGen.isNull}) {
+           |  byte[] $bytes = ${childGen.value}.getBytes();
+           |  if ($bytes.length > 0) {
+           |    int $s = 0; int $p = 0; boolean $bad = false;
+           |    for (int $i = $bytes.length - 1; $i >= 0; $i--) {
+           |      byte $bv = $bytes[$i];
+           |      if ($bv < '0' || $bv > '9') { $bad = true; break; }
+           |      int $d = $bv - '0';
+           |      if (($p & 1) == 1) { $d *= 2; if ($d > 9) $d -= 9; }
+           |      $s += $d; $p++;
+           |    }
+           |    if (!$bad) { ${ev.isNull} = false; ${ev.value} = ($s % 10 == 0); }
+           |  }
+           |}
+         """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnCheckExpr =
+    copy(child = newChild)
+}
+
 /** Session-level registration of graft's native functions (idempotent).
   * Also installable via `spark.sql.extensions=graft.GraftExtensions`.
   */
@@ -213,6 +299,9 @@ object GraftRegistry {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       (exprs: Seq[Expression]) => DotExpr(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_luhn",
+      (exprs: Seq[Expression]) => LuhnCheckExpr(exprs.head), "built-in")
     spark.udf.register("graft_geomean",
       org.apache.spark.sql.functions.udaf(GeoMeanAgg))
     spark.udf.register("graft_cm_sketch",

@@ -201,6 +201,68 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(id: Long, hashHi: Long, hashLo: Long, nOnes: Long, ok: Boolean)
+
+  /** Perceptual average-hash (aHash) over REAL decoded images — the
+    * image near-duplicate primitive: decode via `javax.imageio`,
+    * nearest-neighbor downsample to 8×8 (sample pixel
+    * (j·w/8, i·h/8) — integer arithmetic only, no resampling filter,
+    * so an oracle can recompute it), brightness = r+g+b per cell (sum,
+    * never divided — keeps everything exact integers), bit(i,j) = 1
+    * iff 64·brightness(i,j) > Σ brightness (strictly-greater-than-mean
+    * without a division). The 64 bits are packed into TWO longs
+    * (rows 0–3 → `hashLo`, rows 4–7 → `hashHi`, bit (i·8+j) within
+    * each half) — two 32-bit halves sidestep sign-bit arithmetic in
+    * SQL engines and are the natural unit for pigeonhole chunk joins.
+    * Near-dup pairs then come from Hamming distance over the halves —
+    * same banded-join machinery as SimHash, but over pixel content
+    * instead of token content. Undecodable blobs yield ok=false.
+    */
+  def aHash(blobs: Dataset[(Long, Array[Byte])]): Dataset[ImageHash] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) ImageHash(id, 0L, 0L, 0L, ok = false)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val gray = new Array[Long](64)
+            var tot = 0L
+            var i = 0
+            while (i < 8) {
+              var j = 0
+              while (j < 8) {
+                val rgb = img.getRGB(j * w / 8, i * h / 8)
+                val g = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                gray(i * 8 + j) = g
+                tot += g
+                j += 1
+              }
+              i += 1
+            }
+            var lo = 0L
+            var hi = 0L
+            var ones = 0L
+            var p = 0
+            while (p < 64) {
+              if (64L * gray(p) > tot) {
+                ones += 1
+                if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+              }
+              p += 1
+            }
+            ImageHash(id, hi, lo, ones, ok = true)
+          }
+        } catch {
+          case _: Exception => ImageHash(id, 0L, 0L, 0L, ok = false)
+        }
+      }
+    }
+  }
+
   /** Partition-wise "decode": one MessageDigest per partition (the
     * expensive-codec-initialization pattern), then a streaming pass over
     * rows. Checksum = first 60 bits of md5(payload); frameHex = first

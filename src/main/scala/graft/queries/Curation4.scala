@@ -401,11 +401,15 @@ object Curation4 {
     * JPEG rows check the header/decode path via dimensions (sums are
     * lossy → NULL by contract).
     */
-  private val q178ImageDecode: Q = (s, d) => {
+  /** Encode-once-per-JVM image fixture (shared by q178 and the
+    * perceptual-hash query): real PNG/JPEG blobs of the deterministic
+    * test pattern, one file per sampled doc_id. "_DONE" starts with
+    * '_' so Spark's file source ignores it.
+    */
+  private[queries] def imageFixtureDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
     import graft.operators.{Materialize, Multimodal}
     val dir = Materialize.jvmScratch(s"img_${new java.io.File(d).getName}")
-    // encode-once per JVM (the fixture is input data, not query work);
-    // "_DONE" starts with '_' so Spark's file source ignores it
     val marker = new java.io.File(dir, "_DONE")
     if (!marker.isFile) {
       new java.io.File(dir).mkdirs()
@@ -424,6 +428,12 @@ object Curation4 {
         }
       marker.createNewFile()
     }
+    dir
+  }
+
+  private val q178ImageDecode: Q = (s, d) => {
+    import graft.operators.Multimodal
+    val dir = imageFixtureDir(s, d)
     import s.implicits._
     val blobs = s.read.format("binaryFile").load(dir)
       .select(

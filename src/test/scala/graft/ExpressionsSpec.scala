@@ -175,4 +175,78 @@ class ExpressionsSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getAs[Long]("nid")).toSeq
     assert(top == Seq(1L, 2L), "3rd component must not affect dim=2 search")
   }
+
+  test("LuhnCheckExpr: ISO 7812 vectors, codegen + interpreted parity, non-digit -> NULL") {
+    GraftRegistry.register(spark)
+    import spark.implicits._
+    // classic test vectors: 79927398713 valid; each single-digit change invalid
+    val cases = Seq(
+      ("79927398713", java.lang.Boolean.TRUE),
+      ("79927398710", java.lang.Boolean.FALSE),
+      ("4539578763621486", java.lang.Boolean.TRUE), // standard 16-digit vector
+      ("4539578763621487", java.lang.Boolean.FALSE),
+      ("0000000000000000", java.lang.Boolean.TRUE), // all zeros sum 0
+      ("79 27398713", null),                        // non-digit -> not a candidate
+      ("", null))
+    val out = cases.map(_._1).toDF("s")
+      .selectExpr("s", "graft_luhn(s) AS v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else java.lang.Boolean.valueOf(r.getBoolean(1)))).toMap
+    cases.foreach { case (s, expect) =>
+      assert(out(s) == expect, s"graft_luhn('$s') = ${out(s)}, want $expect")
+    }
+    // interpreted eval path agrees (the codegen fallback contract)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    cases.foreach { case (s, expect) =>
+      val got = graft.functions.LuhnCheckExpr(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)).eval(null)
+      assert(got == (if (expect == null) null else expect.booleanValue()),
+        s"interpreted luhn('$s') = $got")
+    }
+  }
+
+  test("AhoCorasick: counts equal the per-term indexOf/step reference on adversarial patterns") {
+    import graft.operators.KeywordScrub
+    // overlapping, nested, and self-overlapping patterns
+    val terms = Array("ab", "aba", "bab", "aa", "b")
+    val texts = Seq("ababab", "aaaa", "abababa", "bbbbb", "", "xyz", "aabab aba")
+    def refCount(text: String, t: String): Long = {
+      var n = 0L; var i = text.indexOf(t)
+      while (i >= 0) { n += 1; i = text.indexOf(t, i + t.length) }
+      n
+    }
+    val ac = new KeywordScrub.AhoCorasick(terms)
+    texts.foreach { tx =>
+      val got = ac.countNonOverlapping(tx)
+      terms.zipWithIndex.foreach { case (t, ti) =>
+        assert(got(ti) == refCount(tx, t),
+          s"'$tx' term '$t': ac ${got(ti)} != ref ${refCount(tx, t)}")
+      }
+    }
+  }
+
+  test("aHash: decode-then-hash of a real PNG equals the formula-computed hash") {
+    import spark.implicits._
+    val (id, w, h) = (42L, 20, 15)
+    val png = Multimodal.encodeTestImage(id, w, h, "png")
+    val got = Multimodal.aHash(Seq((id, png)).toDS()).collect().head
+    assert(got.ok)
+    // independent arithmetic recomputation from the generating formula
+    val gray = Array.tabulate(8, 8) { (i, j) =>
+      val x = j * w / 8; val y = i * h / 8
+      ((x + id) % 256) + ((y + 2 * id) % 256) + ((x + y + 3 * id) % 256)
+    }
+    val tot = gray.flatten.sum
+    var lo = 0L; var hi = 0L; var ones = 0L
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val p = i * 8 + j
+      if (64L * gray(i)(j) > tot) {
+        ones += 1
+        if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+      }
+    }
+    assert((got.hashHi, got.hashLo, got.nOnes) == ((hi, lo, ones)))
+    // corrupted payload quarantines, never throws
+    val badRow = Multimodal.aHash(Seq((1L, Array[Byte](1, 2, 3))).toDS()).collect().head
+    assert(!badRow.ok)
+  }
 }

@@ -463,4 +463,18 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q182_shard_balance")
     assert(p.contains("__bkt"), s"expected the bucket-keyed rank path:\n$p")
   }
+
+  test("q195 fuzzy join: SymSpell variant blocking plans as an equi-join, never a distance cross join") {
+    val p = plan("q195_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), s"all-pairs levenshtein scan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"distance predicate must not drive the join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"variant key must equi-join:\n$p")
+  }
+
+  test("q196 phash dedup: candidate pairs come from the chunk equi-join, not all-pairs") {
+    val p = plan("q196_phash_dedup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs hamming scan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"hamming predicate must not drive the join:\n$p")
+  }
 }
