@@ -134,12 +134,34 @@ object Functions {
     * The inferred DDL itself is an output column, cross-checked
     * against the oracle's expected `STRUCT<k: BIGINT>`.
     */
+  /** Inferred-DDL cache: schema-on-read inference is table metadata —
+    * infer once per (table dir, JVM) and reuse, the same discipline as
+    * the parquet footer-schema cache in [[graft.sources.Tables]]. The
+    * two inference jobs (sample fetch + schema_of_json fold) run only
+    * on first touch; every later run pays just the main scan.
+    */
+  private val inferredDdlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val q56JsonFuncs: Q = (s, d) => {
     val ev = Tables.events(s, d)
-    val sample = ev.filter(col("props").isNotNull)
-      .select(col("props")).head().getString(0)
-    val ddl = ev.sparkSession.range(1)
-      .select(schema_of_json(lit(sample)).as("s")).head().getString(0)
+    val ddl = inferredDdlCache.computeIfAbsent(d, _ => {
+      val sample = ev.filter(col("props").isNotNull)
+        .select(col("props")).head().getString(0)
+      // schema_of_json of a literal is a pure driver-side fold — evaluate
+      // the Catalyst expression's runtime replacement directly instead of
+      // paying a one-row Spark job for it. Falls back to the job if the
+      // internal shape ever changes.
+      try {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, SchemaOfJson}
+        SchemaOfJson(Literal.create(sample), Map.empty[String, String])
+          .replacement.eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString
+      } catch {
+        case _: Throwable =>
+          ev.sparkSession.range(1)
+            .select(schema_of_json(lit(sample)).as("s")).head().getString(0)
+      }
+    })
     ev.withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
       .withColumn("j", from_json(col("props"), ddl, Map.empty[String, String]))
       .groupBy("event_type")
