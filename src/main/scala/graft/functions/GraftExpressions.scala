@@ -165,6 +165,46 @@ object CountMinAgg extends Aggregator[String, Array[Long], Seq[Long]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
 
+/** Misra-Gries heavy-hitter summary as a typed Aggregator — the
+  * mergeable frequent-items sketch: at most `k` counters regardless of
+  * stream or vocabulary size. `reduce` increments the item's counter,
+  * and when a new item would exceed capacity every counter drops by
+  * the evicted minimum (the classic decrement step); `merge` sums two
+  * summaries and subtracts the (k+1)-th largest count (Agarwal et al.,
+  * "Mergeable Summaries", PODS'12) — so the undercount is bounded by
+  * n/(k+1) under ANY partitioning or merge order, and every item with
+  * true frequency > n/(k+1) is guaranteed to survive in the summary.
+  *
+  * The retained candidate SET is order-dependent (only the guarantee
+  * is not), so q204 never emits it directly: candidates are exactly
+  * re-counted in a second pass and thresholded at n/k > n/(k+1),
+  * which makes the final output deterministic and exactly equal to
+  * "all items with frequency > n/k" — an oracle a plain GROUP BY can
+  * state. At 100 TB the sketch pass is the point: a bounded O(k)
+  * summary per partition replaces the full-vocabulary shuffle.
+  */
+object MisraGriesAgg extends Aggregator[String, Map[String, Long], Seq[String]] {
+  val k = 15
+
+  private def trim(m: Map[String, Long]): Map[String, Long] =
+    if (m.size <= k) m
+    else {
+      val d = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+      m.collect { case (w, c) if c > d => w -> (c - d) }
+    }
+
+  override def zero: Map[String, Long] = Map.empty
+  override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+    if (a == null) b else trim(b.updated(a, b.getOrElse(a, 0L) + 1L))
+  override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+    trim(y.foldLeft(x) { case (m, (w, c)) => m.updated(w, m.getOrElse(w, 0L) + c) })
+  override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+  override def bufferEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}
+
 /** Custom Generator (UDTF): explode a text column into its word
   * n-gram shingles — one output row per shingle, the engine-level
   * building block under the dedup operators (SURVEY.md §2.2 UDTF row).
@@ -306,5 +346,7 @@ object GraftRegistry {
       org.apache.spark.sql.functions.udaf(GeoMeanAgg))
     spark.udf.register("graft_cm_sketch",
       org.apache.spark.sql.functions.udaf(CountMinAgg))
+    spark.udf.register("graft_mg",
+      org.apache.spark.sql.functions.udaf(MisraGriesAgg))
   }
 }

@@ -249,4 +249,28 @@ class ExpressionsSpec extends SparkSpec {
     val badRow = Multimodal.aHash(Seq((1L, Array[Byte](1, 2, 3))).toDS()).collect().head
     assert(!badRow.ok)
   }
+
+  test("Misra-Gries: retention guarantee holds under every partitioning and merge order") {
+    import graft.functions.MisraGriesAgg
+    val k = MisraGriesAgg.k
+    // skewed stream: symbol i appears (40 - i)^2 times, 30 symbols
+    val stream = (0 until 30).flatMap(i => Seq.fill((40 - i) * (40 - i))(s"s$i"))
+    val n = stream.size
+    val exact = stream.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val mustKeep = exact.collect { case (w, c) if c > n.toDouble / (k + 1) => w }.toSet
+    assert(mustKeep.nonEmpty && exact.size > k) // the test exercises evictions
+    // deterministic pseudo-shuffles + varying chunkings, pairwise merge trees
+    for (seed <- 0 until 5; chunks <- Seq(1, 3, 8, 17)) {
+      val perm = stream.sortBy(x => (x.hashCode * (seed * 2 + 1)) ^ (seed * 0x9e3779b9))
+      val parts = perm.grouped(math.max(1, n / chunks)).toSeq
+      val summaries = parts.map(_.foldLeft(MisraGriesAgg.zero)(MisraGriesAgg.reduce))
+      val merged =
+        if (seed % 2 == 0) summaries.reduceLeft(MisraGriesAgg.merge)
+        else summaries.reduceRight(MisraGriesAgg.merge)
+      assert(merged.size <= k, s"summary exceeded capacity: ${merged.size}")
+      val kept = MisraGriesAgg.finish(merged).toSet
+      assert(mustKeep.subsetOf(kept),
+        s"seed=$seed chunks=$chunks lost heavy hitters: ${mustKeep -- kept}")
+    }
+  }
 }

@@ -477,4 +477,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"all-pairs hamming scan:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"hamming predicate must not drive the join:\n$p")
   }
+
+  test("q204 heavy hitters: MG candidates broadcast back for the exact recount") {
+    val p = plan("q204_heavy_hitters")
+    // the candidate set (≤ k rows) must broadcast into the recount join —
+    // a shuffled join here would mean the full symbol stream shuffles twice
+    assert(p.contains("BroadcastHashJoin"), s"candidate recount must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the recount:\n$p")
+  }
+
+  test("q205 thread paths: pointer doubling joins are keyed, never nested-loop") {
+    val p = plan("q205_thread_paths")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ancestor join must be keyed:\n$p")
+  }
+
+  test("q206 rouge: clipped overlap comes from keyed (pair, gram) joins, not per-pair products") {
+    val p = plan("q206_rouge_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap must be a keyed join:\n$p")
+  }
 }
