@@ -24,24 +24,36 @@ object Curation4 {
     * chunk index (doc-local, never corpus-wide); chunk fingerprints
     * via one (doc, chunk) shuffle.
     */
-  private val q161CdcChunks: Q = (s, d) => {
-    val windowed = Tables.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "tok")),
-        col("w"))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"),
+  /** Content-defined chunking of a (idCols..., text-array) frame: the
+    * rolling 4-token-window hash marks boundaries (p = 1/16), chunk ids
+    * accumulate per document, and each chunk hashes its token span.
+    * Shared by q161 (chunk inventory) and q213 (content-addressed
+    * storage dedup across snapshots).
+    */
+  private[queries] def cdcChunkTable(docs: org.apache.spark.sql.DataFrame,
+      idCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val ids = idCols.map(col)
+    val windowed = docs
+      .select(ids :+ posexplode(col("w")).as(Seq("pos0", "tok")) :+ col("w"): _*)
+      .select(ids ++ Seq((col("pos0") + 1).as("pos"), col("tok"),
         concat_ws(" ", slice(col("w"), greatest(lit(1), col("pos0") - lit(2)),
-          least(col("pos0") + lit(1), lit(4)))).as("win"))
+          least(col("pos0") + lit(1), lit(4)))).as("win")): _*)
     val flagged = windowed.withColumn("boundary",
       (col("pos") === 1 || mdHash(col("win")) % 16 === 0).cast("int"))
     val chunked = flagged.withColumn("chunk_idx",
       sum(col("boundary")).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        Window.partitionBy(ids: _*).orderBy(col("pos"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    chunked.groupBy("doc_id", "chunk_idx")
+    chunked.groupBy(ids :+ col("chunk_idx"): _*)
       .agg(count(lit(1)).as("n_tokens"),
         mdHash(concat_ws(" ",
           expr("transform(array_sort(collect_list(struct(pos, tok))), p -> p.tok)"))).as("chunk_hash"))
+  }
+
+  private val q161CdcChunks: Q = (s, d) => {
+    cdcChunkTable(
+        Tables.documents(s, d).select(col("doc_id"), words(col("text")).as("w")),
+        Seq("doc_id"))
       .orderBy("doc_id", "chunk_idx")
   }
 
