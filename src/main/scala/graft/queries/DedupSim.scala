@@ -279,7 +279,7 @@ object DedupSim {
     "q76_similarity_lsh" -> q76LshNearDup,
     "q77_similarity_ivf" -> q77SimilarityIvf)
 
-  private val h = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+  private[queries] val h = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
 
   /** Shared oracle CTE chain: per-doc 64-bit SimHash sketch as a signed
     * BIGINT (`sh(doc_id, sh64)`). Word hash = first 16 md5 hex chars as
@@ -322,7 +322,7 @@ object DedupSim {
     * candidate pairs → symmetric edges → recursive-CTE connected
     * components (`comp(id, cluster_id)`). Used by q68 and q89.
     */
-  private val lshClusterCtes: String =
+  private[queries] val lshClusterCtes: String =
     s"""${shinglesCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |sig AS (SELECT doc_id, s,
        |    [list_min(list_transform(s, x ->

@@ -497,4 +497,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"overlap must be a keyed join:\n$p")
   }
+
+  test("q214 char entropy: per-doc entropy is map-only — one shuffle, for the source rollup") {
+    val p = plan("q214_char_entropy")
+    // the text stream must never shuffle: entropy is computed in-row via
+    // higher-order functions, so the only Exchanges are the tiny per-source
+    // agg and the final presentation sort — both post-aggregation
+    assert("Exchange".r.findAllIn(p).length <= 2, s"text stream must not shuffle:\n$p")
+    assert(p.contains("partial_count"), s"source rollup must partial-aggregate:\n$p")
+    assert(!p.contains("Generate"), s"no char explosion:\n$p")
+  }
+
+  test("q216 mixture resample: rate table broadcasts, corpus side never shuffles pre-explode") {
+    val p = plan("q216_mixture_resample")
+    assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
+  }
+
+  test("q218 knn label noise: neighbor pick is native top-k, no corpus window or sort") {
+    val p = plan("q218_knn_label_noise").split("== Initial Plan ==")(0)
+    assert("TopKPerGroup".r.findAllIn(p).length == 2,
+      s"expected partial+final TopKPerGroup:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"must not plan a window:\n$p")
+  }
 }
