@@ -31,6 +31,11 @@ object Bench {
     // — session-build-time opt-in, see Bucketing.sessionConfs
     graft.sources.Bucketing.sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
+    // Data-contract canary FIRST (see DataContract): a harness data regen
+    // with changed physical types shows up as one named FAIL line here,
+    // not as a wall of identical per-query failures below.
+    graft.sources.DataContract.report(spark, sfDir)
+      .foreach(l => System.err.println(s"[contract] $l"))
     // JIT/codegen/page-cache warmup on the smallest inputs: one silent
     // pass of every query at sf0.001 (measurement below is sfDir).
     val warmDir = "/root/testdata/sf0.001"

@@ -29,13 +29,30 @@ object Verify {
     graft.sources.Bucketing.sessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Data-contract canary FIRST: if the harness regenerated a table with
+    // an unexpected physical type (round 5: events.ts nanos→µs), fail
+    // loudly with ONE named diagnosis instead of 50 identical stack traces.
+    graft.sources.DataContract.report(spark, sfDir).foreach(l => println(s"[contract] $l"))
     // deterministic name order (hash-map order shifts when queries are
     // added, which once let an order-dependent session-state bug hide)
     SparkEntry.queries.toSeq.sortBy(_._1).filter(t => nameFilter(t._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A failed query must leave a marker row in the artifact, not a
+        // silent gap: round 5's 54 runtime failures were absent from
+        // CORRECTNESS (reading as green) because this branch only logged.
+        // A one-row frame with a sentinel column guarantees the driver's
+        // DuckDB compare records a mismatch for this query.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("__graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -18,18 +18,20 @@ import java.sql.Timestamp
 object StreamingOps {
 
   /** File-based streaming source over a parquet events directory —
-    * same nanos-timestamp handling as the batch reader
-    * (graft.sources.Tables.events).
+    * same schema-adaptive ts handling as the batch reader
+    * (graft.sources.Tables.events / normalizeEventTs), so either
+    * physical vintage of events.ts (TIMESTAMP(NANOS) or timestamp[us])
+    * streams as a UTC TimestampType column.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source wants a directory: stream the table dir,
     // glob-filtered to the events file
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling-window counts with watermark-based late-data drop.

@@ -76,8 +76,11 @@ object ScaleUp {
     replicate("part", Seq("p_partkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    // events: TIMESTAMP(NANOS) parquet — read raw (nanos as long) and
-    // write the long back so the scan-side type quirk is preserved
+    // events: replicate the raw physical type as-is. Historical fixtures
+    // were TIMESTAMP(NANOS) (needs the legacy conf to even load — read as
+    // long, written back as long); current fixtures are timestamp[us]
+    // (conf is a no-op, timestamp round-trips). Either way the scan-side
+    // vintage is preserved and Tables.events adapts at read time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     replicate("events", Seq("event_id", "user_id"))
     // documents: per-replica vocabulary bijection (replica 0 = source)
