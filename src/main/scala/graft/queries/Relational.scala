@@ -53,18 +53,30 @@ object Relational {
     // `.as("t")` + qualified refs: Spark 4's rollup/cube resolve by-name
     // grouping columns against the pre-join lineage and report them as
     // ambiguous; a subquery alias gives them a unique qualifier.
+    // Two-phase rollup: aggregate to the finest (r_name, n_name) level
+    // first (≤ 25 rows — nation cardinality), then roll up the
+    // pre-aggregate. Expand then multiplies ~25 rows, not the full
+    // customer table; sound because the dimension names are non-null
+    // and the decimal partial sums re-aggregate exactly.
     c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .select("r_name", "n_name", "c_acctbal").as("t")
+      .groupBy("r_name", "n_name")
+      .agg(sum(dec2(col("c_acctbal"))).as("pb"), count(lit(1)).as("pn")).as("t")
       .rollup(col("t.r_name").as("r_name"), col("t.n_name").as("n_name"))
-      .agg(dsum(col("c_acctbal")).as("sum_bal"), count(lit(1)).as("n"))
+      .agg(sum(col("pb")).cast("double").as("sum_bal"), sum(col("pn")).as("n"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
   private val q04Cube: Q = (s, d) => {
+    // Two-phase cube (see q03/q44): finest-level pre-aggregate (≈ 6
+    // rows) feeds the Expand instead of the full lineitem scan. Keys
+    // are non-null; decimal partials re-aggregate exactly.
     Tables.lineitem(s, d)
-      .cube("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("pn"), sum(dec2(col("l_quantity"))).as("pq")).as("t")
+      .cube(col("t.l_returnflag").as("l_returnflag"),
+        col("t.l_linestatus").as("l_linestatus"))
+      .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 

@@ -55,13 +55,25 @@ object Relational2 {
       .orderBy("l_linestatus")
   }
 
-  /** Explicit grouping sets (beyond rollup/cube): ((rf, ls), (rf), ()). */
+  /** Explicit grouping sets (beyond rollup/cube): ((rf, ls), (rf), ()).
+    *
+    * Two-phase: pre-aggregate to the finest grouping first, then expand
+    * the pre-aggregate. Spark's Expand multiplies its input by the
+    * number of grouping sets BEFORE the shuffle — at 100 TB that
+    * triples scan output flowing into the exchange, while the finest
+    * grouping here is ≤ |rf|·|ls| ≈ 6 rows. Sound because both keys
+    * are non-null in lineitem (grouping-set NULLs stay unambiguous)
+    * and count/sum re-aggregate losslessly (sum of per-group counts =
+    * count; sum of exact long partials = sum).
+    */
   private val q44GroupingSets: Q = (s, d) => {
     Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("pn"), sum(col("l_quantity").cast("long")).as("pq"))
       .groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .agg(sum(col("pn")).as("n"), sum(col("pq")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
