@@ -91,6 +91,17 @@ object StreamingOps {
         col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
   }
 
+  /** Stream-static enrichment join: the streaming feed joined to a
+    * static dimension frame on `key`. Stateless (no watermark or state
+    * store — only stream-STREAM joins buffer state); the static side
+    * is re-planned per micro-batch, so a dimension table refreshed in
+    * place is picked up on the next batch. The explicit broadcast pins
+    * the per-batch plan to a map-side hash join — at cluster scale the
+    * stream never shuffles for the enrichment.
+    */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   case class UserRunning(userId: Long, nEvents: Long, sumValue: Double, lastTs: Timestamp)
 
   /** Custom stateful aggregation via flatMapGroupsWithState: running

@@ -354,4 +354,23 @@ class StreamingSpec extends SparkSpec {
     // user 1: max value 9 (event 2); user 2: tie on 4.0 -> min event_id 3
     assert(got.toSet == Set((1L, 2L, 9.0), (2L, 3L, 4.0)), s"got $got")
   }
+
+  test("stream-static enrichment join picks up the static dimension per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "premium"), (2L, "free")).toDF("user_id", "segment")
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.enrichWithStatic(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    input.addData(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 2, "view", 2.0),
+      Ev(3, ts(3), 7, "click", 3.0)) // user 7 not in the dimension
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .select(col("event_id"), col("segment")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    q.stop()
+    // left join: unmatched stream rows survive with a null dimension
+    assert(rows == Set((1L, Some("premium")), (2L, Some("free")), (3L, None)), s"got $rows")
+  }
 }
