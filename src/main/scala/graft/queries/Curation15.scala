@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Q
+import graft.functions.TextFunctions.mdHash
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Round-6 wave 2: n-gram novelty (memorization metric), MinHash
+  * containment (asymmetric sub-document duplication), Adamic-Adar
+  * link prediction, Gini concentration, CUSUM changepoint, and
+  * Fano-factor burstiness.
+  */
+object Curation15 {
+
+  /** Distinct word n-grams per doc via the shared bit-identical JVM
+    * shingler (same kernel as q28 contamination).
+    */
+  private def grams(df: DataFrame, idCol: String, textCol: String, n: Int,
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => Dedup.shingleStrings(text, n).map(s => (id, s)) }
+      .toDF(out, "s")
+  }
+
+  /** Per-eval-document n-gram novelty rate against the train split —
+    * the memorization/overlap metric reported alongside eval scores.
+    * Train grams collapse to one distinct set; the membership probe is
+    * a left-semi join keyed on the gram, so nothing quadratic ever
+    * forms and the train set shuffles once regardless of eval size.
+    */
+  private val q238NgramNovelty: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val trainGrams = grams(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 3, "tid")
+      .select(col("s")).distinct()
+    val evalGrams = grams(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 3, "doc_id")
+    val seen = evalGrams.join(trainGrams, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    evalGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        round(lit(1.0) - coalesce(col("n_seen"), lit(0L)).cast(DoubleType) /
+          col("n_grams").cast(DoubleType), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Asymmetric containment |A∩B|/|A| for LSH candidate pairs — the
+    * signal that catches a document swallowed whole by a larger one,
+    * which symmetric Jaccard dilutes. Candidates come from the banded
+    * MinHash join (never all pairs); the intersection is a keyed join
+    * on the 60-bit gram hash restricted to candidate ids.
+    */
+  private val q239MinhashContainment: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.5, numHashes = 48, bands = 12)
+      .select(col("id_a"), col("id_b"), col("jac"))
+    val gh = grams(docs, "doc_id", "text", 3, "id")
+      .select(col("id"), mdHash(col("s")).as("h")).distinct()
+    val sizes = gh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = pairs.select("id_a", "id_b")
+      .join(gh.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .join(gh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_int"))
+    pairs.join(inter, Seq("id_a", "id_b"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"), col("n_int"),
+        round(col("n_int").cast(DoubleType) / col("sza").cast(DoubleType), 6).as("cont_a"),
+        round(col("n_int").cast(DoubleType) / col("szb").cast(DoubleType), 6).as("cont_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Adamic-Adar link prediction over the bipartite user ↔ activity-
+    * cell graph (cell = event_type × day): score(u,v) = Σ 1/ln|cell|
+    * over shared cells. The pair expansion is per cell — quadratic
+    * only in users-per-cell, which the cell granularity bounds (salt
+    * or split hub cells at scale). Scores accumulate as DECIMAL so
+    * the sum is partition-order independent.
+    */
+  private val q240AdamicAdar: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .select(col("user_id"),
+        concat(col("event_type"), lit("|"), to_date(col("ts")).cast("string")).as("cell"))
+      .distinct()
+    val cellN = cells.groupBy("cell").agg(count(lit(1)).as("nc"))
+    val weighted = cells.join(cellN, Seq("cell"))
+      .withColumn("w", (lit(1.0) / log(col("nc").cast(DoubleType))).cast(DecimalType(20, 12)))
+    val a = weighted.select(col("cell"), col("user_id").as("ua"), col("w"))
+    val b = weighted.select(col("cell"), col("user_id").as("ub"))
+    a.join(b, Seq("cell")).filter(col("ua") < col("ub"))
+      .groupBy("ua", "ub")
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("aa"))
+      .select(col("ua"), col("ub"), col("n_common"), round(col("aa").cast(DoubleType), 6).as("aa"))
+      .orderBy(col("aa").desc, col("ua"), col("ub"))
+      .limit(30)
+  }
+
+  /** Gini coefficient of per-user total event value — the
+    * concentration audit run before capping contributors or weighting
+    * sources. Totals are decimal-exact; the rank weighting runs over
+    * |users| rows (already aggregated), and the closed form
+    * G = 2·Σ i·x_i / (n·Σx) − (n+1)/n divides only at the end.
+    */
+  private val q241Gini: Q = (s, d) => {
+    val totals = Tables.events(s, d).groupBy("user_id")
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("x"))
+    val ranked = totals.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("user_id"))).cast(LongType))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("i")).as("six"))
+      .select(col("n"),
+        round(lit(2.0) * col("six").cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("sx").cast(DoubleType)) -
+          (col("n").cast(DoubleType) + 1.0) / col("n").cast(DoubleType), 6).as("gini"))
+  }
+
+  /** CUSUM changepoint scan over the daily event count series. The
+    * cumulative deviation is the closed form cum_n − t·mean computed
+    * per row from integer cumulatives — no float accumulation, so the
+    * argmax day is engine-exact. Output: the changepoint day, its
+    * CUSUM value, and the series mean.
+    */
+  private val q242CusumChangepoint: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cus = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")).cast(LongType))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wall))
+      .withColumn("days", count(lit(1)).over(wall))
+      .withColumn("cusum", col("cum").cast(DoubleType) -
+        col("t").cast(DoubleType) * col("total").cast(DoubleType) / col("days").cast(DoubleType))
+    val mx = cus.agg(max(abs(col("cusum"))).as("mc"))
+    cus.crossJoin(broadcast(mx))
+      .filter(abs(col("cusum")) === col("mc"))
+      .agg(min(col("day")).as("cp_day"),
+        round(min(col("cusum")), 6).as("cusum"),
+        min(col("days")).as("n_days"),
+        round(min(col("total").cast(DoubleType) / col("days").cast(DoubleType)), 6).as("daily_mean"))
+  }
+
+  /** Fano-factor burstiness per user: variance/mean of the user's
+    * hourly event counts over their active span, zero hours included
+    * WITHOUT materializing them — span length and count moments come
+    * from the nonzero hours alone (zeros add nothing to Σc or Σc²),
+    * so the whole audit is one keyed aggregate. Fano ≈ 1 is Poisson;
+    * ≫ 1 flags bots/batch replays.
+    */
+  private val q243Burstiness: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_millis(ts) DIV 3600000").as("h"))
+      .groupBy("user_id", "h").agg(count(lit(1)).as("c"))
+    hourly.groupBy("user_id")
+      .agg((max(col("h")) - min(col("h")) + 1).as("span_hours"),
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("user_id"), col("span_hours"), col("n_events"),
+        round((col("sc2").cast(DoubleType) / col("span_hours").cast(DoubleType) -
+          (col("n_events").cast(DoubleType) / col("span_hours").cast(DoubleType)) *
+          (col("n_events").cast(DoubleType) / col("span_hours").cast(DoubleType))) /
+          (col("n_events").cast(DoubleType) / col("span_hours").cast(DoubleType)), 6).as("fano"))
+      .orderBy("user_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q238_ngram_novelty" -> q238NgramNovelty,
+    "q239_minhash_containment" -> q239MinhashContainment,
+    "q240_adamic_adar" -> q240AdamicAdar,
+    "q241_gini" -> q241Gini,
+    "q242_cusum_changepoint" -> q242CusumChangepoint,
+    "q243_burstiness" -> q243Burstiness)
+
+  private val h = DedupSim.h
+
+  val oracles: Map[String, String] = Map(
+    "q238_ngram_novelty" ->
+      """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |    for i in range(1, greatest(len(w) - 2, 1) + 1)]) s FROM docs),
+        |tg AS (SELECT DISTINCT unnest(s) g FROM sh WHERE doc_id % 7 <> 0),
+        |eg AS (SELECT doc_id, unnest(s) g FROM sh WHERE doc_id % 7 = 0),
+        |seen AS (SELECT doc_id, count(*) n_seen FROM eg
+        |  WHERE g IN (SELECT g FROM tg) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) n_grams FROM eg GROUP BY doc_id)
+        |SELECT t.doc_id, n_grams::BIGINT AS n_grams,
+        |  coalesce(n_seen, 0)::BIGINT AS n_seen,
+        |  round(1.0 - coalesce(n_seen, 0)::DOUBLE / n_grams::DOUBLE, 6) AS novelty
+        |FROM tot t LEFT JOIN seen USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q239_minhash_containment" ->
+      s"""WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+         |    for i in range(1, greatest(len(w) - 2, 1) + 1)]) s FROM docs),
+         |sig AS (SELECT doc_id, s,
+         |    [list_min(list_transform(s, x ->
+         |      ${h.format("x")} + i * ('0x' || substr(md5(x), 16, 12))::BIGINT))
+         |      for i in range(0, 48)] sig
+         |  FROM sh),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${h.format("x")})) hh FROM sh),
+         |bands AS (SELECT doc_id, b,
+         |    array_to_string(sig[b*4+1 : b*4+4], ',') bkey
+         |  FROM sig, (SELECT unnest(range(0, 12)) b) bs),
+         |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b,
+         |    len(list_intersect(x.hh, y.hh)) n_int, len(x.hh) sza, len(y.hh) szb,
+         |    len(list_intersect(x.hh, y.hh))::DOUBLE /
+         |      (len(x.hh)::DOUBLE + len(y.hh)::DOUBLE - len(list_intersect(x.hh, y.hh))::DOUBLE) jac
+         |  FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b)
+         |SELECT id_a, id_b, round(jac, 6) AS jac, n_int::BIGINT AS n_int,
+         |  round(n_int::DOUBLE / sza::DOUBLE, 6) AS cont_a,
+         |  round(n_int::DOUBLE / szb::DOUBLE, 6) AS cont_b
+         |FROM pairs WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q240_adamic_adar" ->
+      """WITH cells AS (SELECT DISTINCT user_id,
+        |    event_type || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) AS cell FROM events),
+        |celln AS (SELECT cell, count(*) nc FROM cells GROUP BY cell),
+        |wtd AS (SELECT c.cell, c.user_id,
+        |    CAST(1.0 / ln(nc::DOUBLE) AS DECIMAL(20,12)) w
+        |  FROM cells c JOIN celln USING (cell))
+        |SELECT a.user_id AS ua, b.user_id AS ub, count(*)::BIGINT AS n_common,
+        |  round(CAST(sum(a.w) AS DOUBLE), 6) AS aa
+        |FROM wtd a JOIN wtd b ON a.cell = b.cell AND a.user_id < b.user_id
+        |GROUP BY 1, 2 ORDER BY aa DESC, ua, ub LIMIT 30""".stripMargin,
+    "q241_gini" ->
+      """WITH totals AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) x
+        |  FROM events GROUP BY user_id),
+        |ranked AS (SELECT x, row_number() OVER (ORDER BY x, user_id) i FROM totals)
+        |SELECT count(*)::BIGINT AS n,
+        |  round(2.0 * sum(x * i)::DOUBLE / (count(*)::DOUBLE * sum(x)::DOUBLE) -
+        |    (count(*)::DOUBLE + 1.0) / count(*)::DOUBLE, 6) AS gini
+        |FROM ranked""".stripMargin,
+    "q242_cusum_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) dd, count(*) n FROM events GROUP BY 1),
+        |cus AS (SELECT dd,
+        |    row_number() OVER (ORDER BY dd) t,
+        |    sum(n) OVER (ORDER BY dd ROWS UNBOUNDED PRECEDING) cum,
+        |    sum(n) OVER () total, count(*) OVER () nd
+        |  FROM daily),
+        |c2 AS (SELECT *, cum::DOUBLE - t::DOUBLE * total::DOUBLE / nd::DOUBLE cusum
+        |  FROM cus),
+        |mx AS (SELECT max(abs(cusum)) mc FROM c2)
+        |SELECT min(dd) AS cp_day, round(min(cusum), 6) AS cusum,
+        |  min(nd)::BIGINT AS n_days,
+        |  round(min(total::DOUBLE / nd::DOUBLE), 6) AS daily_mean
+        |FROM c2, mx WHERE abs(cusum) = mc""".stripMargin,
+    "q243_burstiness" ->
+      """WITH hourly AS (SELECT user_id, epoch_ms(ts) // 3600000 h, count(*) c
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (SELECT user_id, max(h) - min(h) + 1 span_hours,
+        |    sum(c) n_events, sum(c * c) sc2 FROM hourly GROUP BY user_id)
+        |SELECT user_id, span_hours::BIGINT AS span_hours, n_events::BIGINT AS n_events,
+        |  round((sc2::DOUBLE / span_hours::DOUBLE -
+        |    (n_events::DOUBLE / span_hours::DOUBLE) * (n_events::DOUBLE / span_hours::DOUBLE)) /
+        |    (n_events::DOUBLE / span_hours::DOUBLE), 6) AS fano
+        |FROM agg ORDER BY user_id""".stripMargin)
+}
