@@ -30,16 +30,21 @@ object Curation14 {
       .select(col("user_id"), expr("unix_millis(ts) DIV 3600000").as("h"), col("value"))
       .groupBy("user_id", "h")
       .agg(sum(dec2(col("value"))).as("hv"))
-    val grid = hourly.groupBy("user_id")
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
-    val filled = grid.join(hourly, Seq("user_id", "h"), "left")
-      .withColumn("fv", last(col("hv"), ignoreNulls = true)
-        .over(Window.partitionBy("user_id").orderBy("h")))
-    filled.groupBy("user_id")
-      .agg(count(lit(1)).as("n_hours"),
-        sum(when(col("hv").isNotNull, 1L).otherwise(0L)).as("n_observed"),
-        round(sum(col("fv")).cast(DoubleType), 2).as("locf_sum"))
+    // Closed form instead of materializing the grid: the LOCF value only
+    // changes at observed hours, so each observation contributes
+    // hv × (next observed hour − its hour) to the filled sum (the last
+    // one contributes once). Same exact decimal total as explode-join-
+    // window over the full grid — the oracle computes it THAT way for
+    // independent validation — but this side never materializes
+    // users × span rows: one keyed window over observed hours only.
+    val w = Window.partitionBy("user_id").orderBy("h")
+    hourly
+      .withColumn("nxt", lead(col("h"), 1).over(w))
+      .withColumn("reps", coalesce(col("nxt") - col("h"), lit(1L)))
+      .groupBy("user_id")
+      .agg((max(col("h")) - min(col("h")) + 1).as("n_hours"),
+        count(lit(1)).as("n_observed"),
+        round(sum(col("hv") * col("reps")).cast(DoubleType), 2).as("locf_sum"))
       .orderBy("user_id")
   }
 
