@@ -520,4 +520,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("WindowExec") && !p.contains("Window "),
       s"must not plan a window:\n$p")
   }
+
+  test("q230 resample/LOCF: closed form plans no grid explode and no interval join") {
+    val p = plan("q230_resample_locf")
+    assert(!p.contains("Generate"), s"must not materialize the hour grid:\n$p")
+    assert(!p.contains("Join"), s"closed form needs no gap join:\n$p")
+  }
+
+  test("q231 SCD2 lookup: interval probe is an equi join on the entity key, never nested-loop") {
+    val p = plan("q231_scd2_lookup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval lookup must stay keyed on user_id:\n$p")
+  }
+
+  test("q237 association rules: pair join keyed on the order key; top-20 is TakeOrdered, not a global sort") {
+    val p = plan("q237_association_rules")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"bounded top-k expected:\n$p")
+  }
+
+  test("q239 containment: candidates come from the banded LSH join, intersection is hash-keyed") {
+    val p = plan("q239_minhash_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must never form all pairs:\n$p")
+  }
 }
