@@ -173,7 +173,100 @@ object Curation15 {
       .orderBy("user_id")
   }
 
+  /** A/B experiment readout: deterministic arm assignment (user_id
+    * parity — in production a salted hash), per-arm conversion to
+    * purchase, absolute lift, pooled two-proportion z, and Wilson 95%
+    * intervals. Everything reduces to six integers before any float
+    * math, so the readout is engine-exact; at scale it is one keyed
+    * per-user aggregate and a two-row final reduce.
+    */
+  private val q244AbReadout: Q = (s, d) => {
+    val perUser = Tables.events(s, d).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 480, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("arm", (col("user_id") % 2).cast(LongType))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val flat = arms.agg(
+      sum(when(col("arm") === 0, col("n"))).as("na"),
+      sum(when(col("arm") === 0, col("x"))).as("xa"),
+      sum(when(col("arm") === 1, col("n"))).as("nb"),
+      sum(when(col("arm") === 1, col("x"))).as("xb"))
+    def rate(x: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      x.cast(DoubleType) / n.cast(DoubleType)
+    def wilson(x: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column, up: Boolean) = {
+      val z = lit(1.96)
+      val p = rate(x, n)
+      val nn = n.cast(DoubleType)
+      val center = p + z * z / (lit(2.0) * nn)
+      val spread = z * sqrt(p * (lit(1.0) - p) / nn + z * z / (lit(4.0) * nn * nn))
+      (if (up) center + spread else center - spread) / (lit(1.0) + z * z / nn)
+    }
+    flat.select(
+      col("na"), col("xa"), round(rate(col("xa"), col("na")), 6).as("rate_a"),
+      col("nb"), col("xb"), round(rate(col("xb"), col("nb")), 6).as("rate_b"),
+      round(rate(col("xb"), col("nb")) - rate(col("xa"), col("na")), 6).as("lift"),
+      round(when(
+        rate(col("xa") + col("xb"), col("na") + col("nb")) > 0 &&
+          rate(col("xa") + col("xb"), col("na") + col("nb")) < 1,
+        (rate(col("xb"), col("nb")) - rate(col("xa"), col("na"))) /
+          sqrt(rate(col("xa") + col("xb"), col("na") + col("nb")) *
+            (lit(1.0) - rate(col("xa") + col("xb"), col("na") + col("nb"))) *
+            (lit(1.0) / col("na").cast(DoubleType) + lit(1.0) / col("nb").cast(DoubleType)))), 6).as("z"),
+      round(wilson(col("xa"), col("na"), up = false), 6).as("wilson_a_lo"),
+      round(wilson(col("xa"), col("na"), up = true), 6).as("wilson_a_hi"),
+      round(wilson(col("xb"), col("nb"), up = false), 6).as("wilson_b_lo"),
+      round(wilson(col("xb"), col("nb"), up = true), 6).as("wilson_b_hi"))
+  }
+
+  /** Perplexity-style quality filter: an add-k-smoothed bigram LM fit
+    * on the train split scores every eval document by per-token
+    * negative log-likelihood; the worst decile is flagged (the CCNet
+    * LM-filtering step). Log terms accumulate as DECIMAL(30,12) so
+    * per-doc NLL is partition-order independent; the LM tables join by
+    * bigram key (broadcast-sized here, keyed shuffle at corpus scale)
+    * and the decile cutoff is an exact rank over the bounded doc set.
+    */
+  private val q245PerplexityFilter: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def bigrams(df: DataFrame, out: String): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val w = t.split(" ", -1)
+          (0 until w.length - 1).map(i => (id, w(i), w(i + 1)))
+        }.toDF(out, "w1", "w2")
+    }
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val evals = docs.filter(col("doc_id") % 7 === 0)
+    val bg = bigrams(train, "tid").groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ug = bigrams(train, "tid").groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = bg.agg(countDistinct(col("w2")).as("v"))
+    val eb = bigrams(evals, "doc_id")
+    val k = lit(0.5)
+    val scored = eb
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(ug, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p", (coalesce(col("c12"), lit(0L)).cast(DoubleType) + k) /
+        (coalesce(col("c1"), lit(0L)).cast(DoubleType) + k * col("v").cast(DoubleType)))
+      .withColumn("nll_term", (-log(col("p"))).cast(DecimalType(30, 12)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_term")).as("nll_sum"))
+      .withColumn("nll", col("nll_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+    val ranked = scored.withColumn("r",
+      row_number().over(Window.orderBy(col("nll").desc, col("doc_id"))))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("nd"))))
+    ranked.select(col("doc_id"), col("n_bigrams"), round(col("nll"), 6).as("nll"),
+        (col("r") * 10 <= col("nd")).as("filtered"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q244_ab_readout" -> q244AbReadout,
+    "q245_perplexity_filter" -> q245PerplexityFilter,
     "q238_ngram_novelty" -> q238NgramNovelty,
     "q239_minhash_containment" -> q239MinhashContainment,
     "q240_adamic_adar" -> q240AdamicAdar,
@@ -184,6 +277,52 @@ object Curation15 {
   private val h = DedupSim.h
 
   val oracles: Map[String, String] = Map(
+    "q244_ab_readout" ->
+      """WITH pu AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 480 THEN 1 ELSE 0 END) converted
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT user_id % 2 arm, count(*) n, sum(converted) x FROM pu GROUP BY 1),
+        |flat AS (SELECT
+        |    sum(CASE WHEN arm = 0 THEN n END) na, sum(CASE WHEN arm = 0 THEN x END) xa,
+        |    sum(CASE WHEN arm = 1 THEN n END) nb, sum(CASE WHEN arm = 1 THEN x END) xb
+        |  FROM arms),
+        |r AS (SELECT na::DOUBLE nad, xa::DOUBLE xad, nb::DOUBLE nbd, xb::DOUBLE xbd,
+        |    na, xa, nb, xb FROM flat)
+        |SELECT na::BIGINT AS na, xa::BIGINT AS xa, round(xad / nad, 6) AS rate_a,
+        |  nb::BIGINT AS nb, xb::BIGINT AS xb, round(xbd / nbd, 6) AS rate_b,
+        |  round(xbd / nbd - xad / nad, 6) AS lift,
+        |  round(CASE WHEN (xad + xbd) / (nad + nbd) > 0 AND (xad + xbd) / (nad + nbd) < 1
+        |    THEN (xbd / nbd - xad / nad) /
+        |      sqrt((xad + xbd) / (nad + nbd) * (1.0 - (xad + xbd) / (nad + nbd)) *
+        |        (1.0 / nad + 1.0 / nbd)) END, 6) AS z,
+        |  round((xad / nad + 1.96 * 1.96 / (2.0 * nad) - 1.96 * sqrt(xad / nad * (1.0 - xad / nad) / nad
+        |    + 1.96 * 1.96 / (4.0 * nad * nad))) / (1.0 + 1.96 * 1.96 / nad), 6) AS wilson_a_lo,
+        |  round((xad / nad + 1.96 * 1.96 / (2.0 * nad) + 1.96 * sqrt(xad / nad * (1.0 - xad / nad) / nad
+        |    + 1.96 * 1.96 / (4.0 * nad * nad))) / (1.0 + 1.96 * 1.96 / nad), 6) AS wilson_a_hi,
+        |  round((xbd / nbd + 1.96 * 1.96 / (2.0 * nbd) - 1.96 * sqrt(xbd / nbd * (1.0 - xbd / nbd) / nbd
+        |    + 1.96 * 1.96 / (4.0 * nbd * nbd))) / (1.0 + 1.96 * 1.96 / nbd), 6) AS wilson_b_lo,
+        |  round((xbd / nbd + 1.96 * 1.96 / (2.0 * nbd) + 1.96 * sqrt(xbd / nbd * (1.0 - xbd / nbd) / nbd
+        |    + 1.96 * 1.96 / (4.0 * nbd * nbd))) / (1.0 + 1.96 * 1.96 / nbd), 6) AS wilson_b_hi
+        |FROM r""".stripMargin,
+    "q245_perplexity_filter" ->
+      """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
+        |tb AS (SELECT doc_id, w[i] w1, w[i + 1] w2
+        |  FROM docs, LATERAL (SELECT unnest(range(1, len(w))) i) t),
+        |bgc AS (SELECT w1, w2, count(*) c12 FROM tb WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+        |ugc AS (SELECT w1, count(*) c1 FROM tb WHERE doc_id % 7 <> 0 GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT w2) v FROM bgc),
+        |eb AS (SELECT doc_id, w1, w2 FROM tb WHERE doc_id % 7 = 0),
+        |scored AS (SELECT doc_id, count(*) n_bigrams,
+        |    sum(CAST(-ln((coalesce(c12, 0)::DOUBLE + 0.5) /
+        |      (coalesce(c1, 0)::DOUBLE + 0.5 * v::DOUBLE)) AS DECIMAL(30,12))) nll_sum
+        |  FROM eb LEFT JOIN bgc USING (w1, w2) LEFT JOIN ugc USING (w1), vocab
+        |  GROUP BY doc_id),
+        |s2 AS (SELECT doc_id, n_bigrams, nll_sum::DOUBLE / n_bigrams::DOUBLE nll FROM scored),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY nll DESC, doc_id) r,
+        |    count(*) OVER () nd FROM s2)
+        |SELECT doc_id, n_bigrams::BIGINT AS n_bigrams, round(nll, 6) AS nll,
+        |  (r * 10 <= nd) AS filtered
+        |FROM rk ORDER BY doc_id""".stripMargin,
     "q238_ngram_novelty" ->
       """WITH docs AS (SELECT doc_id, str_split(text, ' ') w FROM documents),
         |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
