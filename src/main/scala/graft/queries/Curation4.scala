@@ -272,33 +272,68 @@ object Curation4 {
     */
   private val q172SpanScrub: Q = (s, d) => {
     val k = 8
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("w"))
-    val wins = docs.filter(size(col("w")) >= k)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(w) - ${k - 1}), " +
-          s"p -> struct(p as p, array_join(slice(w, p, $k), ' ') as win))")).as("s"))
-      .select(col("doc_id"), col("s.p").as("p"), mdHash(col("s.win")).as("h"))
+    val spark = s
+    import spark.implicits._
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // (doc_id, 1-based start, 60-bit window hash) per k-token window.
+    // JVM kernel: one StringBuilder pass per window + the shared md5
+    // 60-bit parse (bit-identical to mdHash = conv(substr(md5,1,15)))
+    // — the declarative transform/slice/array_join chain ran
+    // interpreted per window and dominated the query.
+    val wins = graft.operators.Kernels.fanOut(base)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val w = text.split(" ", -1)
+          if (w.length < k) Iterator.empty
+          else (0 to w.length - k).iterator.map { i =>
+            val sb = new java.lang.StringBuilder(w(i))
+            var j = i + 1
+            while (j < i + k) { sb.append(' '); sb.append(w(j)); j += 1 }
+            md.reset()
+            val dg = md.digest(sb.toString.getBytes("UTF-8"))
+            var a = 0L
+            var t = 0
+            while (t < 7) { a = (a << 8) | (dg(t) & 0xffL); t += 1 }
+            (id, i + 1, (a << 4) | ((dg(7) & 0xf0L) >>> 4))
+          }
+        }
+      }.toDF("doc_id", "p", "h")
+    // cross-doc duplicate windows: partial-aggregable min≠max test
     val dup = wins.groupBy("h")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select("h")
-    val covered = wins.join(dup, "h")
-      .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(k - 1))).as("cpos"))
-      .distinct()
-    val toks = docs.select(col("doc_id"), size(col("w")).as("n_tokens"),
-        posexplode(col("w")).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), col("n_tokens"), (col("pos0") + 1).as("pos"), col("tok"))
-    val kept = toks.join(covered,
-        toks("doc_id") === covered("doc_id") && toks("pos") === covered("cpos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")).as("scrubbed"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), size(words(col("text"))).as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        md5(coalesce(col("scrubbed"), lit(""))).as("scrub_md5"))
+    // covered starts per doc (no 8× coverage explode — the kernel
+    // below expands starts to an interval bitmap in-row)
+    val starts = wins.join(dup, "h")
+      .groupBy("doc_id").agg(collect_list(col("p")).as("ps"))
+    val scrubbed = base.join(starts, Seq("doc_id"), "left")
+      .as[(Long, String, Seq[Int])]
+      .map { case (id, text, ps) =>
+        val w = text.split(" ", -1)
+        val covered = new Array[Boolean](w.length)
+        if (ps != null) ps.foreach { p =>
+          var j = p - 1
+          val end = math.min(p - 1 + k, w.length)
+          while (j < end) { covered(j) = true; j += 1 }
+        }
+        val sb = new java.lang.StringBuilder
+        var kept = 0L
+        var i = 0
+        while (i < w.length) {
+          if (!covered(i)) {
+            if (kept > 0) sb.append(' ')
+            sb.append(w(i))
+            kept += 1
+          }
+          i += 1
+        }
+        (id, w.length.toLong, kept, sb.toString)
+      }.toDF("doc_id", "n_tokens", "n_kept", "scrubbed")
+    scrubbed.select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"),
+        md5(col("scrubbed")).as("scrub_md5"))
       .orderBy("doc_id")
   }
 
