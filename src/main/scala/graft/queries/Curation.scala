@@ -316,8 +316,8 @@ object Curation {
       .agg(
         expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
         expr("percentile(l_extendedprice, 0.9)").as("p90_exact"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_approx"))
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(2000)).as("p90_approx"))
       .select(col("l_returnflag"), col("p50_exact"), col("p90_exact"),
         (abs(col("p50_approx") - col("p50_exact")) <= lit(0.05) * col("p50_exact"))
           .as("p50_within_5pct"),
