@@ -166,9 +166,15 @@ object Curation8 {
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("i"))
+    // Kirsch-Mitzenmacher double hashing: ONE md5 per (source, shingle)
+    // yields the whole 16-member family h_p = h1 + p·h2 — the seeded
+    // family (md5 per permutation) paid 16 digests per shingle for the
+    // same estimator quality.
     val sig = sh
-      .select(col("source"), explode(sequence(lit(0), lit(15))).as("p"), col("sh"))
-      .select(col("source"), col("p"), mdHash(col("p"), col("sh")).as("hv"))
+      .select(col("source"), mdHash(col("sh")).as("h1"), mdHash2(col("sh")).as("h2"))
+      .select(col("source"), explode(sequence(lit(0), lit(15))).as("p"),
+        col("h1"), col("h2"))
+      .select(col("source"), col("p"), (col("h1") + col("p") * col("h2")).as("hv"))
       .groupBy("source", "p").agg(min(col("hv")).as("mh"))
     val est = sig.as("a").join(sig.as("b"),
         col("a.p") === col("b.p") && col("a.source") < col("b.source"))
@@ -329,7 +335,8 @@ object Curation8 {
         |inter AS (SELECT a.source sa, b.source sb, count(*) AS i
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2),
         |sig AS (SELECT source, p,
-        |    min(('0x' || substr(md5(p || '|' || s), 1, 15))::BIGINT) AS mh
+        |    min(('0x' || substr(md5(s), 1, 15))::BIGINT
+        |      + p * ('0x' || substr(md5(s), 16, 12))::BIGINT) AS mh
         |  FROM sh, unnest(range(0, 16)) t(p) GROUP BY 1, 2),
         |est AS (SELECT a.source sa, b.source sb,
         |    sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS eq
