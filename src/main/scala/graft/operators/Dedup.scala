@@ -206,6 +206,41 @@ object Dedup {
     Materialize.spillRelease(pairs, hashed)
   }
 
+  /** [[minhashLshPairs]] with asymmetric containment: same banded
+    * candidate generation and exact rerank, but the pair row also
+    * carries |A∩B| and both set sizes so containment |A∩B|/|A| falls
+    * out of the SAME hash-set join — no second pass over the corpus
+    * grams (the first cut recomputed every shingle hash just to score
+    * containment). Returns (id_a, id_b, jac, n_int, sza, szb) with
+    * jac ≥ threshold.
+    */
+  def minhashLshContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 48, bands: Int = 12): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val hashed = minhashSignatures(df, idCol, textCol, numHashes).persist()
+    val banded = hashed.select(col("id"),
+      posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+    val cand = banded.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val hs = hashed.select(col("id"), col("hset"))
+    val ni = size(array_intersect(col("h_a"), col("h_b"))).cast("long")
+    val pairs = cand
+      .join(hs.select(col("id").as("id_a"), col("hset").as("h_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hset").as("h_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), ni.as("n_int"),
+        size(col("h_a")).cast("long").as("sza"), size(col("h_b")).cast("long").as("szb"))
+      .withColumn("jac", col("n_int").cast("double") /
+        (col("sza") + col("szb") - col("n_int")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac", "n_int", "sza", "szb")
+    Materialize.spillRelease(pairs, hashed)
+  }
+
   /** Incremental MinHash-LSH dedup: near-duplicate pairs between a NEW
     * batch and an EXISTING corpus — the "is today's crawl already in
     * the index?" pass of continuous ingestion. Same signature/banding

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Q
-import graft.functions.TextFunctions.mdHash
 import graft.operators.Dedup
 import graft.sources.Tables
 
@@ -58,26 +57,13 @@ object Curation15 {
     * MinHash join (never all pairs); the intersection is a keyed join
     * on the 60-bit gram hash restricted to candidate ids.
     */
-  private val q239MinhashContainment: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+  private val q239MinhashContainment: Q = (s, d) =>
+    Dedup.minhashLshContainmentPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5, numHashes = 48, bands = 12)
-      .select(col("id_a"), col("id_b"), col("jac"))
-    val gh = grams(docs, "doc_id", "text", 3, "id")
-      .select(col("id"), mdHash(col("s")).as("h")).distinct()
-    val sizes = gh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = pairs.select("id_a", "id_b")
-      .join(gh.select(col("id").as("id_a"), col("h")), Seq("id_a"))
-      .join(gh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_int"))
-    pairs.join(inter, Seq("id_a", "id_b"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"), col("n_int"),
         round(col("n_int").cast(DoubleType) / col("sza").cast(DoubleType), 6).as("cont_a"),
         round(col("n_int").cast(DoubleType) / col("szb").cast(DoubleType), 6).as("cont_b"))
       .orderBy("id_a", "id_b")
-  }
 
   /** Adamic-Adar link prediction over the bipartite user ↔ activity-
     * cell graph: score(u,v) = Σ 1/ln|cell| over shared cells. Two
@@ -352,7 +338,7 @@ object Curation15 {
          |      ${h.format("x")} + i * ('0x' || substr(md5(x), 16, 12))::BIGINT))
          |      for i in range(0, 48)] sig
          |  FROM sh),
-         |hs AS (SELECT doc_id, list_distinct(list_transform(s, x -> ${h.format("x")})) hh FROM sh),
+         |hs AS (SELECT doc_id, list_transform(s, x -> ${h.format("x")}) hh FROM sh),
          |bands AS (SELECT doc_id, b,
          |    array_to_string(sig[b*4+1 : b*4+4], ',') bkey
          |  FROM sig, (SELECT unnest(range(0, 12)) b) bs),
