@@ -219,13 +219,20 @@ object Curation14 {
     * whole rule table is one keyed shuffle plus a bounded top-k.
     */
   private val q237AssociationRules: Q = (s, d) => {
-    val items = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val pairs = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+    // Baskets first (one keyed aggregate), then pairs GENERATED IN-ROW
+    // from the sorted item array — quadratic only in basket size and
+    // never a self-join shuffle of the item table. The basket frame is
+    // reused for pair, item, and order totals.
+    val baskets = Tables.lineitem(s, d).groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = baskets.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))")).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("pair_n"))
-    val itemn = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("item_n"))
-    val no = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val itemn = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("item_n"))
+    val no = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(itemn.select(col("l_partkey").as("pa"), col("item_n").as("na"))), Seq("pa"))
       .join(broadcast(itemn.select(col("l_partkey").as("pb"), col("item_n").as("nb"))), Seq("pb"))
