@@ -73,9 +73,66 @@ object Curation16 {
       .orderBy("source")
   }
 
+  /** Trailing 7-day rolling median of daily volume per event type —
+    * the robust smoother dashboards run where a rolling mean chases
+    * outliers. The frame is collected in-row (≤ 7 values), sorted, and
+    * indexed exactly, so the median needs no rank join; the window
+    * partitions by event type over the DAILY aggregate (t rows per
+    * type, never events).
+    */
+  private val q250RollingMedian: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("dd"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("dd").rowsBetween(-6, 0)
+    daily
+      .withColumn("fr", sort_array(collect_list(col("n")).over(w)))
+      .withColumn("m", size(col("fr")))
+      .select(col("event_type"), col("dd"), col("n"), col("m").cast(LongType).as("window_days"),
+        round(when(col("m") % 2 === 1,
+            element_at(col("fr"), expr("CAST((m + 1) DIV 2 AS INT)")).cast(DoubleType))
+          .otherwise((element_at(col("fr"), expr("CAST(m DIV 2 AS INT)")).cast(DoubleType) +
+            element_at(col("fr"), expr("CAST(m DIV 2 + 1 AS INT)")).cast(DoubleType)) / 2.0), 1)
+          .as("rolling_median"))
+      .orderBy("event_type", "dd")
+  }
+
+  /** Jackknife (leave-one-source-out) uncertainty of the corpus mean
+    * document length — resampling-grade error bars with zero
+    * resampling: every leave-one-out mean is a closed form over the
+    * per-source totals (|sources| rows), so the whole estimate is two
+    * keyed aggregates. Decimal totals keep each pseudo-value exact
+    * until the final variance division.
+    */
+  private val q251Jackknife: Q = (s, d) => {
+    val bySrc = Tables.documents(s, d).groupBy("source")
+      .agg(sum(col("n_chars")).as("sc"), count(lit(1)).as("nc"))
+    val tot = bySrc.agg(sum(col("sc")).as("st"), sum(col("nc")).as("nt"),
+      count(lit(1)).as("g"))
+    val loo = bySrc.crossJoin(broadcast(tot))
+      .withColumn("ti", (col("st") - col("sc")).cast(DoubleType) /
+        (col("nt") - col("nc")).cast(DoubleType))
+      // decimal casts before the cross-source sums: double accumulation
+      // is partition-order dependent; these are not
+      .withColumn("tid", col("ti").cast(org.apache.spark.sql.types.DecimalType(25, 12)))
+      .withColumn("ti2d",
+        (col("ti") * col("ti")).cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+    val mean = loo.agg(min(col("g")).as("g"),
+      min(col("st").cast(DoubleType) / col("nt").cast(DoubleType)).as("theta"),
+      sum(col("tid")).as("sumt"), sum(col("ti2d")).as("s2"))
+      .withColumn("theta_bar", col("sumt").cast(DoubleType) / col("g").cast(DoubleType))
+    mean.select(col("g"), round(col("theta"), 6).as("mean_chars"),
+      round(sqrt((col("g").cast(DoubleType) - 1.0) / col("g").cast(DoubleType) *
+        (col("s2").cast(DoubleType) -
+          col("g").cast(DoubleType) * col("theta_bar") * col("theta_bar"))), 6)
+        .as("jackknife_se"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q246_theil_sen" -> q246TheilSen,
-    "q247_token_waterfill" -> q247TokenWaterfill)
+    "q247_token_waterfill" -> q247TokenWaterfill,
+    "q250_rolling_median" -> q250RollingMedian,
+    "q251_jackknife" -> q251Jackknife)
 
   val oracles: Map[String, String] = Map(
     "q246_theil_sen" ->
@@ -90,6 +147,33 @@ object Curation16 {
         |      CASE WHEN r * 2 = m + 1 THEN slope END
         |    ELSE CASE WHEN r * 2 = m OR r * 2 = m + 2 THEN slope END END), 6) AS ts_slope
         |FROM ranked WHERE r * 2 = m OR r * 2 = m + 1 OR r * 2 = m + 2""".stripMargin,
+    "q250_rolling_median" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) dd, count(*) n
+        |  FROM events GROUP BY 1, 2),
+        |fr AS (SELECT event_type, dd, n,
+        |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY dd
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) f
+        |  FROM daily)
+        |SELECT event_type, dd, n::BIGINT AS n, len(f)::BIGINT AS window_days,
+        |  round(CASE WHEN len(f) % 2 = 1 THEN f[(len(f) + 1) // 2]::DOUBLE
+        |    ELSE (f[len(f) // 2]::DOUBLE + f[len(f) // 2 + 1]::DOUBLE) / 2.0 END, 1)
+        |    AS rolling_median
+        |FROM fr ORDER BY event_type, dd""".stripMargin,
+    "q251_jackknife" ->
+      """WITH bysrc AS (SELECT source, sum(n_chars) sc, count(*) nc
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(sc) st, sum(nc) nt, count(*) g FROM bysrc),
+        |loo AS (SELECT g, st, nt,
+        |    (st - sc)::DOUBLE / (nt - nc)::DOUBLE ti FROM bysrc, tot),
+        |dec AS (SELECT g, st, nt,
+        |    CAST(ti AS DECIMAL(25,12)) tid, CAST(ti * ti AS DECIMAL(30,12)) ti2d FROM loo),
+        |m AS (SELECT min(g) g, min(st::DOUBLE / nt::DOUBLE) theta,
+        |    sum(tid) sumt, sum(ti2d) s2 FROM dec),
+        |m2 AS (SELECT *, sumt::DOUBLE / g::DOUBLE theta_bar FROM m)
+        |SELECT g::BIGINT AS g, round(theta, 6) AS mean_chars,
+        |  round(sqrt((g::DOUBLE - 1.0) / g::DOUBLE *
+        |    (s2::DOUBLE - g::DOUBLE * theta_bar * theta_bar)), 6) AS jackknife_se
+        |FROM m2""".stripMargin,
     "q247_token_waterfill" ->
       """WITH src AS (SELECT source, sum(n_chars) c FROM documents GROUP BY source),
         |tot AS (SELECT sum(c) total, count(*) ns FROM src),
