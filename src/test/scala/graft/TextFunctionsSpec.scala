@@ -149,4 +149,25 @@ class TextFunctionsSpec extends SparkSpec {
         graft.functions.TextFunctions.words(col("text")))).collect()(0).getString(0)
     assert(r == "symbols", r)
   }
+
+  test("span-scrub window hashes are bit-identical to the mdHash column") {
+    import spark.implicits._
+    // q172's kernel parses the 60-bit hash from md5 digest bytes; it
+    // must equal mdHash (= conv(substr(md5(x),1,15),16,10)) for any
+    // window string or the kernel and the DuckDB oracle have drifted.
+    val samples = Seq("a b c d e f g h", "", "x", "不只是 weary traveler here now",
+      "one  two   three four five six seven eight")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val kernel = samples.map { t =>
+      md.reset()
+      val dg = md.digest(t.getBytes("UTF-8"))
+      var a = 0L
+      var k = 0
+      while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+      (a << 4) | ((dg(7) & 0xf0L) >>> 4)
+    }
+    val declarative = samples.toDF("s")
+      .select(mdHash(col("s")).as("h")).collect().map(_.getLong(0)).toSeq
+    assert(kernel == declarative)
+  }
 }
