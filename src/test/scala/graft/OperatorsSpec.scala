@@ -482,4 +482,27 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a2 == a)
   }
+
+  test("two-phase skyline equals brute-force dominance on adversarial partitionings") {
+    import spark.implicits._
+    // deterministic pseudo-random points incl. duplicate (x, y) pairs,
+    // duplicate x with differing y, and a strict Pareto chain
+    val pts = (1 to 400).map { i =>
+      val x = (i * 2654435761L % 97).toInt
+      val y = (i * 40503L % 89).toInt
+      (i.toLong, x.toLong, y.toLong)
+    } ++ Seq((9001L, 96L, 88L), (9002L, 96L, 88L), (9003L, 0L, 0L))
+    def brute(ps: Seq[(Long, Long, Long)]) = ps.filter { case (_, x, y) =>
+      !ps.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }.map(_._1).toSet
+    val expected = brute(pts)
+    for (parts <- Seq(1, 3, 32)) {
+      val df = pts.toDF("id", "x", "y").repartition(parts)
+      val got = graft.operators.Skyline.skyline2d(df, "x", "y")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"parts=$parts: $got vs $expected")
+    }
+  }
 }
