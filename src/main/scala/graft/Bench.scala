@@ -84,6 +84,7 @@ object Bench {
         name -> timeOne(s2, name, fn)
       }.toMap
     printJson(results.toMap, isolated, sfDir)
+    warnRegressions(results.toMap)
     spark.stop()
   }
 
@@ -94,6 +95,41 @@ object Bench {
     val isoPart =
       if (iso.isEmpty) ""
       else f""","value_isolated":${iso.values.filter(_ >= 0).sum}%.3f,"queries_isolated":${obj(iso)}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(qs)}$isoPart,"sf":"$sf"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(qs)}$isoPart,"sf":"$sf"}"""
+    println(line)
+    // Self-contained artifact: the driver's stdout capture is a
+    // truncated tail at this query count (BENCH_r06 kept only the last
+    // ~73 queries), so a regression in early names was invisible to
+    // anyone diffing rounds. The full line also lands in a file.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+  }
+
+  /** Commit-time regression tripwire: any query >1.5× its best prior
+    * round (tools/bench_best.json, suite-mode numbers) and above the
+    * 0.3 s jitter floor prints a named warning — the check that would
+    * have caught q63/q56 the day they regressed instead of a round
+    * later. Warnings only; host noise can spike a query transiently,
+    * so the bench never fails on it.
+    */
+  private def warnRegressions(qs: Map[String, Double]): Unit = {
+    val path = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST", "tools/bench_best.json"))
+    if (!java.nio.file.Files.isReadable(path)) return
+    val txt = java.nio.file.Files.readString(path)
+    val entry = """"(q\w+)":\s*(-?[0-9.]+)""".r
+    val best = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val flagged = qs.toSeq.sortBy(_._1).flatMap { case (name, t) =>
+      best.get(name).collect {
+        case b if t > 0.3 && b > 0 && t > b * 1.5 =>
+          f"[bench] REGRESSION $name: $t%.2fs vs best-prior $b%.2fs (${t / b}%.1fx)"
+      }
+    }
+    flagged.foreach(System.err.println)
+    if (flagged.nonEmpty)
+      System.err.println(s"[bench] ${flagged.size} queries exceed 1.5x best-prior " +
+        "(rerun before believing: single-query spikes are usually host noise)")
   }
 }

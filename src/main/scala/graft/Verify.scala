@@ -42,8 +42,11 @@ object Verify {
         // A failed query must leave a marker row in the artifact, not a
         // silent gap: round 5's 54 runtime failures were absent from
         // CORRECTNESS (reading as green) because this branch only logged.
-        // A one-row frame with a sentinel column guarantees the driver's
-        // DuckDB compare records a mismatch for this query.
+        // For oracle-backed queries (all of them today) the one-row
+        // sentinel frame forces a schema/hash mismatch; a hypothetical
+        // oracle-less query would fall to the weaker rows-only check,
+        // where tools/check_oracle.py additionally flags any result
+        // carrying a __graft_error column as FAIL outright.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         try {
           import spark.implicits._

@@ -164,6 +164,85 @@ object Dedup {
     }.toDF("id", "hset", "sig")
   }
 
+  /** Per-doc document fingerprints, JVM kernel form — one mapPartitions
+    * pass computing both the bag-of-words fingerprint (mdHash of the
+    * sorted distinct word set, reorder/repeat-invariant) and the
+    * winnowing-style min-shingle fingerprint (min over n-gram shingles
+    * of mdHash). Bit-identical to the declarative pair
+    * `TextFunctions.bowFingerprint(words(text))` /
+    * `TextFunctions.minShingleFingerprint(wordShingles(words(text), n))`:
+    * same split-on-space (empty tokens kept), word sort by UTF-8 byte
+    * order (= Spark `sort_array` / UTF8String binary order), same
+    * md5-byte-mask 60-bit parse as [[minhashSignatures]]'s h1 — the
+    * identity is pinned in TextFunctionsSpec so the two formulations
+    * cannot drift. Exists because the declarative form runs one
+    * interpreted Catalyst lambda md5 per shingle per row (the r6 bench's
+    * slowest query); the JVM loop is the same pattern that already pays
+    * for MinHash/SimHash signatures.
+    *
+    * Returns (id, fp, minfp).
+    */
+  private[graft] def fingerprints(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = Kernels.fanOut(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t")))
+    in.as[(Long, String)].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(s: String): Long = {
+        md.reset()
+        val dg = md.digest(s.getBytes("UTF-8"))
+        var a = 0L
+        var k = 0
+        while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+        (a << 4) | ((dg(7) & 0xf0L) >>> 4)
+      }
+      // Spark's string sort order is UTF8String binary order = unsigned
+      // UTF-8 byte comparison; String.compareTo (UTF-16 code units)
+      // diverges for supplementary-plane chars, so compare bytes.
+      val utf8Order = new java.util.Comparator[String] {
+        def compare(a: String, b: String): Int = {
+          val x = a.getBytes("UTF-8")
+          val y = b.getBytes("UTF-8")
+          val m = math.min(x.length, y.length)
+          var i = 0
+          while (i < m) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      }
+      it.map { case (id, text) =>
+        val w = text.split(" ", -1)
+        val set = new java.util.TreeSet[String](utf8Order)
+        var i = 0
+        while (i < w.length) { set.add(w(i)); i += 1 }
+        // concat_ws semantics: separator between EVERY pair of elements,
+        // including empty strings (an empty first word still precedes a
+        // separator) — a length-based guard would drop that separator
+        val sb = new java.lang.StringBuilder
+        val iter = set.iterator()
+        var firstW = true
+        while (iter.hasNext) {
+          if (!firstW) sb.append(' ')
+          sb.append(iter.next())
+          firstW = false
+        }
+        val fp = h60(sb.toString)
+        val shingles = Dedup.shingleStrings(text, n)
+        var mn = Long.MaxValue
+        i = 0
+        while (i < shingles.length) {
+          val v = h60(shingles(i)); if (v < mn) mn = v; i += 1
+        }
+        (id, fp, mn)
+      }
+    }.toDF("id", "fp", "minfp")
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * Pipeline: per-row shingles → per-row MinHash signature (numHashes

@@ -15,7 +15,9 @@ import org.apache.spark.sql.DataFrame
   * kernel input, decoupling kernel parallelism from input layout.
   *
   * The target is SIZE-AWARE, not a flat cluster-width: ceil(estimated
-  * input bytes / 1 MiB per task), clamped to [1, default parallelism].
+  * input bytes / [[BytesPerTask]] = 64 KiB of compressed columnar
+  * estimate per task — see the constant's rationale), clamped to
+  * [1, default parallelism].
   * Flat cluster-width fan-out (rounds 3–5) made every kernel stage 32
   * tasks regardless of input size, and on the bench's ~7 MB corpora
   * the per-task scheduling overhead dominated the kernel itself

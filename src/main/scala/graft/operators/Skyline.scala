@@ -1,76 +1,113 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed 2D skyline (Pareto front), maximizing both dimensions.
+/** Distributed skyline (Pareto front), maximizing every dimension.
   *
   * The skyline operator is distributive: skyline(A ∪ B) =
   * skyline(skyline(A) ∪ skyline(B)). Phase 1 therefore computes each
-  * partition's local skyline in a JVM kernel (sort by x desc, keep
-  * rows whose y strictly exceeds the running max — O(p log p) per
-  * partition, no shuffle), discarding everything dominated locally;
-  * phase 2 runs the exact dominance test over the (small) union of
-  * survivors with two incremental window aggregates — max(y) per
-  * distinct x and a prefix running max over x descending. At 100 TB
-  * phase 1 does all the data reduction scan-side; phase 2 sees only
-  * per-partition fronts (≤ |distinct x| rows each, typically tiny).
+  * partition's local skyline in a JVM kernel (sort-filter skyline:
+  * lexicographic descending sort, keep rows no kept row dominates —
+  * O(p·s·d) per partition, no shuffle), discarding everything dominated
+  * locally; the survivors are spilled ONCE (both phase-2 consumers read
+  * the spill, so the expensive phase-1 scan never re-executes). Phase 2
+  * runs the exact dominance test over the (small) union of survivors.
+  * At 100 TB phase 1 does all the data reduction scan-side; phase 2
+  * sees only per-partition fronts (bounded by the fronts' sizes,
+  * typically tiny).
   *
-  * Dominance: q dominates p iff xq ≥ xp ∧ yq ≥ yp ∧ (xq > xp ∨ yq > yp).
-  * Duplicate (x, y) points on the front all survive.
+  * Dominance: q dominates p iff q ≥ p on every dimension and q > p on
+  * at least one. Duplicate points on the front all survive.
   */
 object Skyline {
 
-  /** Rows of `df` not dominated on (xCol, yCol), both maximized.
-    * Integer/long dimensions; output keeps all original columns.
+  /** Sort-filter skyline over one in-memory batch: sort lexicographic
+    * descending on the dims, then keep each row not dominated by an
+    * already-kept row. Correct because in descending lexicographic
+    * order a later row can never dominate an earlier one (its first
+    * differing dim is strictly smaller; full ties have no strict dim).
     */
-  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema
-    val xi = schema.fieldIndex(xCol)
-    val yi = schema.fieldIndex(yCol)
-    // Phase 1: local skyline per partition. Sort by (x desc, y desc);
-    // a row survives iff its y is >= the running max so far AND it is
-    // not strictly dominated by the previous distinct-x max.
-    val local = df.mapPartitions { it =>
-      val rows = it.toArray
-      if (rows.length <= 1) rows.iterator
-      else {
-        def xOf(r: org.apache.spark.sql.Row) = r.get(xi) match {
-          case i: Int => i.toLong
-          case l: Long => l
-          case other => throw new IllegalArgumentException(
-            s"skyline dimension must be int/long, got $other")
-        }
-        def yOf(r: org.apache.spark.sql.Row) = r.get(yi) match {
-          case i: Int => i.toLong
-          case l: Long => l
-          case other => throw new IllegalArgumentException(
-            s"skyline dimension must be int/long, got $other")
-        }
-        val sorted = rows.sortBy(r => (-xOf(r), -yOf(r)))
-        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-        var bestYStrict = Long.MinValue // max y among STRICTLY larger x
-        var i = 0
-        while (i < sorted.length) {
-          val x = xOf(sorted(i))
-          // all rows sharing this x: survivors are those with y == group
-          // max (ties kept), provided group max beats bestYStrict
-          var j = i
-          val gmax = yOf(sorted(i)) // sorted y desc within x
-          while (j < sorted.length && xOf(sorted(j)) == x) {
-            if (yOf(sorted(j)) == gmax && gmax > bestYStrict) out += sorted(j)
+  private def localFront(rows: Array[Row], idx: Array[Int]): Iterator[Row] = {
+    if (rows.length <= 1) rows.iterator
+    else {
+      val d = idx.length
+      def dim(r: Row, j: Int): Long = r.get(idx(j)) match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"skyline dimension must be int/long, got $other")
+      }
+      val ord = new Ordering[Row] {
+        def compare(a: Row, b: Row): Int = {
+          var j = 0
+          while (j < d) {
+            val c = java.lang.Long.compare(dim(b, j), dim(a, j)) // descending
+            if (c != 0) return c
             j += 1
           }
-          if (gmax > bestYStrict) bestYStrict = gmax
-          i = j
+          0
         }
-        out.iterator
       }
-    }(org.apache.spark.sql.Encoders.row(schema))
-    // Phase 2: exact global dominance over the survivors (small), via
-    // incremental windows — never a self-join or shrinking frame.
+      val sorted = rows.sorted(ord)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var i = 0
+      while (i < sorted.length) {
+        val r = sorted(i)
+        val v = Array.tabulate(d)(j => dim(r, j))
+        var dominated = false
+        var k = 0
+        while (k < kept.length && !dominated) {
+          val q = kept(k)
+          var allGe = true
+          var strict = false
+          var j = 0
+          while (j < d && allGe) {
+            if (q(j) < v(j)) allGe = false
+            else if (q(j) > v(j)) strict = true
+            j += 1
+          }
+          dominated = allGe && strict
+          k += 1
+        }
+        if (!dominated) { out += r; kept += v }
+        i += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** Rows of `df` not dominated on `dims` (all maximized, any d ≥ 2).
+    * Integer/long dimensions; output keeps all original columns.
+    * Phase 2 is the same kernel over the coalesced survivor spill —
+    * exact, and single-task only over the already-reduced front union.
+    */
+  def skyline(df: DataFrame, dims: String*): DataFrame = {
+    require(dims.size >= 2, "skyline needs at least 2 dimensions")
+    val schema = df.schema
+    val idx = dims.map(schema.fieldIndex).toArray
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val local = df.mapPartitions(it => localFront(it.toArray, idx))(enc)
+    val survivors = Materialize.spillRelease(local)
+    survivors.coalesce(1).mapPartitions(it => localFront(it.toArray, idx))(enc)
+  }
+
+  /** 2D special case: phase 2 stays fully parallel (two incremental
+    * window aggregates — max(y) per distinct x and a prefix running max
+    * over x descending — never a self-join, shrinking frame, or
+    * single-task pass), so even a pathologically large survivor union
+    * distributes.
+    */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val schema = df.schema
+    val idx = Array(schema.fieldIndex(xCol), schema.fieldIndex(yCol))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    // spill phase 1 once: gmax and the final join both read the spill,
+    // not the (expensive) partition-scan kernel
+    val local = Materialize.spillRelease(
+      df.mapPartitions(it => localFront(it.toArray, idx))(enc))
     val gmax = local.groupBy(col(xCol)).agg(max(col(yCol)).as("__gy"))
     val wd = Window.orderBy(col(xCol).desc).rowsBetween(Window.unboundedPreceding, -1)
     val thresholds = gmax.withColumn("__maxy_gt", max(col("__gy")).over(wd))

@@ -104,7 +104,12 @@ object Curation14 {
     val agg = ranked.agg(
       sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
       sum(col("n1v").cast(DoubleType) * col("avg_rank")).as("r1"),
-      sum(col("tv") * col("tv") * col("tv") - col("tv")).as("ties"))
+      // decimal before cubing: tv³ overflows Long past tv ≈ 2.09M (one
+      // popular distinct value in a 100 TB stream), silently in non-ANSI
+      // while the DuckDB oracle promotes to HUGEINT; the term only feeds
+      // the z denominator, so an exact wide sum cast to double suffices
+      sum(col("tv").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        col("tv") * col("tv") - col("tv")).as("ties"))
     agg.select(col("n1"), col("n2"),
         (col("r1") - col("n1").cast(DoubleType) * (col("n1").cast(DoubleType) + 1.0) / 2.0).as("u1"),
         ((col("n1") + col("n2")).cast(DoubleType)).as("nn"),

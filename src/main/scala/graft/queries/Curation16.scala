@@ -29,9 +29,17 @@ object Curation16 {
       .select(((col("nb") - col("na")).cast(DoubleType) /
         (col("tb") - col("ta")).cast(DoubleType)).as("slope"),
         col("ta"), col("tb"))
-    val ranked = slopes.withColumn("r",
-        row_number().over(Window.orderBy(col("slope"), col("ta"), col("tb"))).cast(LongType))
-      .crossJoin(broadcast(slopes.agg(count(lit(1)).as("m"))))
+    // median by exact rank WITHOUT an unpartitioned window: the slope
+    // pairs are O(days²) — small for a month, 6.6M for a 10-year log —
+    // so the rank runs through the distributed range-bucketed machinery
+    // (Ranking.globalRank, q182's path: range-repartition + per-bucket
+    // row_number + bounded offset collect) instead of one task. The
+    // pair count m falls out as max(rank), replacing a second pass
+    // over the pair join.
+    val rankedSlopes = graft.operators.Ranking.globalRank(
+      slopes, "r", col("slope"), col("ta"), col("tb"))
+    val ranked = rankedSlopes
+      .crossJoin(broadcast(rankedSlopes.agg(max(col("r")).as("m"))))
     ranked.filter(col("r") * 2 === col("m") || col("r") * 2 === col("m") + 1 ||
         col("r") * 2 === col("m") + 2)
       .agg(count(lit(1)).as("n_mid"), min(col("m")).as("n_pairs"),

@@ -51,15 +51,17 @@ object TextAnalysis {
 
   /** Fingerprint clustering: docs sharing a bag-of-words fingerprint
     * (reorder/repeat-invariant duplicates) + their min-shingle-hash
-    * (winnowing-style) fingerprint count.
+    * (winnowing-style) fingerprint count. Fingerprints come from the
+    * JVM kernel ([[graft.operators.Dedup.fingerprints]]) — bit-identical
+    * to the declarative `bowFingerprint`/`minShingleFingerprint` pair
+    * (TextFunctionsSpec pins the identity) but ~3× faster: the
+    * declarative form pays one interpreted-lambda md5 per shingle per
+    * row, which made this the slowest query of the r6 bench.
     */
   private val q63Fingerprint: Q = (s, d) => {
-    Tables.documents(s, d)
-      .withColumn("w", words(col("text")))
-      .withColumn("fp", bowFingerprint(col("w")))
-      .withColumn("minfp", minShingleFingerprint(wordShingles(col("w"), 3)))
+    graft.operators.Dedup.fingerprints(Tables.documents(s, d), "doc_id", "text", 3)
       .groupBy("fp")
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"),
         countDistinct(col("minfp")).as("n_minfp"))
       .filter(col("n_docs") >= 2)
       .orderBy("fp")

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Data-contract canary for the harness tables.
@@ -46,6 +47,45 @@ object DataContract {
     )
   }
 
+  /** Value-level probes over a bounded sample (limit pushes to the
+    * scan): the columns every text/vector operator keys on must not
+    * just have the right logical type but also usable VALUES — a regen
+    * that shipped null/empty text or ragged embedding arrays would
+    * pass the type check and then fail fifty queries identically.
+    * One named diagnosis per violation, same discipline as the types.
+    */
+  private def valueViolations(
+      name: String, df: org.apache.spark.sql.DataFrame): Seq[String] = name match {
+    case "documents" if df.columns.contains("text") =>
+      val r = df.select(col("text")).limit(1000)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+            .otherwise(0L)).as("bad"))
+        .head()
+      if (r.getLong(0) == 0L) Seq("text sample is EMPTY (0 rows)")
+      else if (r.getLong(1) > 0L)
+        Seq(s"text has ${r.getLong(1)}/${r.getLong(0)} null/empty values in sample")
+      else Nil
+    case "embeddings" if df.columns.contains("embedding") =>
+      // null arrays map to size -1 so min() can never be null on a
+      // non-empty sample (a getInt on null would crash the canary itself)
+      val r = df.select(coalesce(size(col("embedding")), lit(-1)).as("sz")).limit(1000)
+        .agg(count(lit(1)).as("n"), countDistinct(col("sz")).as("dims"),
+          min(col("sz")).as("mn"))
+        .head()
+      if (r.getLong(0) == 0L) Seq("embedding sample is EMPTY (0 rows)")
+      else {
+        val ragged = if (r.getLong(1) != 1L)
+          Seq(s"embedding has ${r.getLong(1)} distinct lengths in sample (ragged)")
+        else Nil
+        val degenerate = if (r.getInt(2) <= 0)
+          Seq(s"embedding has empty/null arrays in sample (min size ${r.getInt(2)})")
+        else Nil
+        ragged ++ degenerate
+      }
+    case _ => Nil
+  }
+
   /** One line per table: `OK name (col:type, …)` or `FAIL name: reason`. */
   def report(spark: SparkSession, dir: String): Seq[String] =
     Tables.names.map { name =>
@@ -63,7 +103,7 @@ object DataContract {
                   ok.map(_.simpleString).mkString("{", ",", "}"))
               case _ => None
             }
-        }.flatten
+        }.flatten ++ valueViolations(name, df)
         if (violations.isEmpty)
           s"OK   $name (" + schema.fields.map(f =>
             s"${f.name}:${f.dataType.simpleString}").mkString(", ") + ")"

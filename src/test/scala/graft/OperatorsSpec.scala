@@ -503,6 +503,35 @@ class OperatorsSpec extends SparkSpec {
       val got = graft.operators.Skyline.skyline2d(df, "x", "y")
         .select("id").collect().map(_.getLong(0)).toSet
       assert(got == expected, s"parts=$parts: $got vs $expected")
+      // the generic d-dimensional path must agree with the windowed 2D one
+      val gotNd = graft.operators.Skyline.skyline(df, "x", "y")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(gotNd == expected, s"generic parts=$parts: $gotNd vs $expected")
+    }
+  }
+
+  test("3D skyline equals brute-force dominance on adversarial partitionings") {
+    import spark.implicits._
+    // duplicates on the front, a dominated interior cloud, and corner
+    // points that each win on exactly one dimension
+    val pts = (1 to 300).map { i =>
+      val x = (i * 2654435761L % 53).toInt
+      val y = (i * 40503L % 47).toInt
+      val z = (i * 69069L % 41).toInt
+      (i.toLong, x.toLong, y.toLong, z.toLong)
+    } ++ Seq((9001L, 52L, 46L, 40L), (9002L, 52L, 46L, 40L),
+      (9003L, 60L, 0L, 0L), (9004L, 0L, 60L, 0L), (9005L, 0L, 0L, 60L))
+    def brute(ps: Seq[(Long, Long, Long, Long)]) = ps.filter { case (_, x, y, z) =>
+      !ps.exists { case (_, x2, y2, z2) =>
+        x2 >= x && y2 >= y && z2 >= z && (x2 > x || y2 > y || z2 > z)
+      }
+    }.map(_._1).toSet
+    val expected = brute(pts)
+    for (parts <- Seq(1, 3, 32)) {
+      val df = pts.toDF("id", "x", "y", "z").repartition(parts)
+      val got = graft.operators.Skyline.skyline(df, "x", "y", "z")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"parts=$parts: $got vs $expected")
     }
   }
 }

@@ -464,6 +464,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("__bkt"), s"expected the bucket-keyed rank path:\n$p")
   }
 
+  test("q246 Theil-Sen: slope-pair median rank goes through bucketed windows, not one partition") {
+    val p = plan("q246_theil_sen")
+    // the O(days²) slope-pair rank must take the range-bucketed
+    // distributed-rank path (q182's machinery); the only permissible
+    // unpartitioned window is the |days|-row daily index
+    assert(p.contains("__bkt"), s"expected the bucket-keyed rank path:\n$p")
+  }
+
   test("q195 fuzzy join: SymSpell variant blocking plans as an equi-join, never a distance cross join") {
     val p = plan("q195_fuzzy_join")
     assert(!p.contains("CartesianProduct"), s"all-pairs levenshtein scan:\n$p")

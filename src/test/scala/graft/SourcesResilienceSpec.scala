@@ -81,4 +81,23 @@ class SourcesResilienceSpec extends SparkSpec {
     assert(lines.count(_.startsWith("FAIL")) == 1)
     assert(lines.find(_.startsWith("FAIL")).get.contains("events"))
   }
+
+  test("data-contract canary catches value-level corruption: null text, ragged embeddings") {
+    import spark.implicits._
+    // right SCHEMA, wrong VALUES — the class of regen breakage the type
+    // check alone would wave through
+    val dir = freshDir()
+    copyFixtures(dir, Tables.names.filterNot(n => n == "documents" || n == "embeddings"))
+    Seq((1L, "ok text", "en", "web", 7L), (2L, null.asInstanceOf[String], "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val lines = graft.sources.DataContract.report(spark, dir)
+    val docLine = lines.find(_.contains("documents")).get
+    assert(docLine.startsWith("FAIL") && docLine.contains("null/empty"), docLine)
+    val embLine = lines.find(_.contains("embeddings")).get
+    assert(embLine.startsWith("FAIL") && embLine.contains("ragged"), embLine)
+  }
 }

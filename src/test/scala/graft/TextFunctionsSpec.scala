@@ -127,6 +127,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(kernel.toSeq == declarative.toSeq)
   }
 
+  test("fingerprint kernel is bit-identical to the declarative formulation") {
+    import spark.implicits._
+    // Dedup.fingerprints (md5-byte-mask JVM kernel, q63's path) must
+    // equal bowFingerprint + minShingleFingerprint (hex-substring
+    // Catalyst expressions, the oracle's definition) — same UTF-8-byte
+    // word sort as sort_array, same concat_ws empty-string handling,
+    // same shingling, same 60-bit parse.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs for the long trip home"),
+      (3L, "sphinx of black quartz judge my vow said the 不只是 weary traveler"),
+      // edge shapes: empty text, consecutive/trailing spaces (empty
+      // tokens — sort_array puts "" first and concat_ws still separates),
+      // fewer words than n, pure repetition
+      (4L, ""), (5L, "a  b "), (6L, "one two"), (7L, "repeat repeat repeat repeat"))
+      .toDF("doc_id", "text")
+    val kernel = Dedup.fingerprints(docs, "doc_id", "text", 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val declarative = docs.select(
+        col("doc_id").as("id"),
+        bowFingerprint(words(col("text"))).as("fp"),
+        minShingleFingerprint(wordShingles(words(col("text")), 3)).as("minfp"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kernel.toSeq == declarative.toSeq)
+  }
+
   test("gopherVerdict fires each rule with first-match precedence") {
     import spark.implicits._
     val mid = (1 to 20).map(_ => "abcd").mkString(" ") // nw=20, mwl=4.0

@@ -103,6 +103,14 @@ def main():
     for name in names:
         spark_df = con.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        # an error-marker frame (Verify's failure sentinel) is a FAIL no
+        # matter what: without this, an oracle-LESS query that threw
+        # would read as a benign 1-row ROWSONLY result
+        if "__graft_error" in spark_df.columns:
+            msg = spark_df["__graft_error"].iloc[0] if len(spark_df) else "?"
+            print(f"FAIL {name}: query threw in Verify: {msg}")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ROWSONLY {name}: rows={len(spark_df)}"
                   + ("  (EMPTY!)" if len(spark_df) == 0 else ""))
