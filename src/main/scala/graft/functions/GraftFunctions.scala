@@ -27,6 +27,23 @@ object GraftFunctions {
   /** Exact sum of a double column (decimal-cast), returned as double. */
   def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
+  /** All ordered 3-combinations of a SORTED array as
+    * array<struct<p1,p2,p3>> — combination generation stays IN-ROW
+    * (nested higher-order transforms over index sequences), so frequent-
+    * itemset mining needs no k-way self-join shuffle; C(b,3) terms per
+    * row, bounded by the basket size. Requires |arr| ≥ 3 (the sequence
+    * bounds stay ascending exactly when that holds — Spark sequences
+    * run BACKWARDS when start > stop).
+    */
+  def triples(arr: Column): Column = {
+    val el = (i: Column) => element_at(arr, i)
+    flatten(flatten(
+      transform(sequence(lit(1), size(arr) - 2), i =>
+        transform(sequence(i + 1, size(arr) - 1), j =>
+          transform(sequence(j + 1, size(arr)), k =>
+            struct(el(i).as("p1"), el(j).as("p2"), el(k).as("p3")))))))
+  }
+
   /** logit(p) = ln(p / (1 - p)); reference numeric_column.py:118-125.
     * `eps` clamps p into [eps, 1-eps] like the reference's optional
     * clamping.

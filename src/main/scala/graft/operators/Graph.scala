@@ -124,4 +124,42 @@ object Graph {
       ranks.select(col("id"), col("rank").cast(DoubleType).as("rank")),
       Seq(ranks, base, e): _*)
   }
+
+  /** Multi-source BFS: exact hop distances (0..maxHop) from every seed
+    * over a directed edge list. One keyed join per round expands the
+    * frontier; a left-anti join against the visited set keeps state at
+    * (seed, node) pairs — never paths — so each round is a bounded
+    * shuffle regardless of fan-out, and first-reach order gives the
+    * min-hop distance by construction.
+    *
+    * `edges`: columns (u, v); `seeds`: column (sd). Returns
+    * (sd, node, hop) with hop the shortest distance ≤ maxHop.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+    require(maxHop >= 0, s"maxHop must be >= 0, got $maxHop")
+    // Per-round persist (the PageRank discipline): the visited set and
+    // edge list are re-read every round; without persistence each round
+    // re-executes the whole prefix DAG (~3× per level of nesting).
+    // spillRelease at the end returns an unencumbered frame and leaves
+    // the block manager clean.
+    val e = edges.persist()
+    val d0 = seeds.select(col("sd"), col("sd").as("node"), lit(0L).as("hop")).persist()
+    val rounds = scala.collection.mutable.Buffer[DataFrame](d0)
+    var frontier = d0
+    var visited = d0.select("sd", "node")
+    for (h <- 1 to maxHop) {
+      val nxt = frontier.select(col("sd"), col("node"))
+        .join(e, col("node") === col("u"))
+        .select(col("sd"), col("v").as("node")).distinct()
+        .join(visited, Seq("sd", "node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .persist()
+      nxt.count(): Unit
+      rounds += nxt
+      visited = visited.unionByName(nxt.select("sd", "node"))
+      frontier = nxt
+    }
+    Materialize.spillRelease(
+      rounds.reduce(_.unionByName(_)), (e +: rounds.toSeq): _*)
+  }
 }

@@ -41,7 +41,7 @@ object Curation18 {
     * rows and the streaming result is batch-identical by construction —
     * which is exactly what the DuckDB oracle checks.
     */
-  private def runStream(df: DataFrame, mode: String): DataFrame = {
+  private[queries] def runStream(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val tbl = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream.format("memory").queryName(tbl)

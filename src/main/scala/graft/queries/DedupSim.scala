@@ -300,7 +300,7 @@ object DedupSim {
       |    THEN (s - 18446744073709551616)::BIGINT ELSE s::BIGINT END sh64 FROM shu)""".stripMargin
 
   /** Shared oracle CTE: word-3-gram distinct shingles per doc. */
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """WITH docs AS (SELECT doc_id, lang, str_split(text, ' ') w FROM documents),
       |sh AS (SELECT doc_id, lang,
       |    list_distinct([array_to_string(w[i:i+2], ' ')
