@@ -243,6 +243,70 @@ object Dedup {
     }.toDF("id", "fp", "minfp")
   }
 
+  /** Winnowing (MOSS) fingerprint sets, JVM kernel form — POSITIONAL
+    * n-gram hashes (every token position, duplicates kept, unlike the
+    * distinct shingle sets above), a `w`-hash sliding window keeping
+    * each window's MIN, distinct mins per doc. One (id, fp) row per
+    * selected fingerprint. Bit-identical to the declarative
+    * `transform(sequence…, i => mdHash(concat_ws(" ", slice(w, i, n))))`
+    * chain and the DuckDB list-comprehension oracle (same split-on-space
+    * incl. empty tokens, same 60-bit md5 parse as [[minhashSignatures]]'s
+    * h1) — the declarative form slices O(tokens) per position
+    * (quadratic per doc) through one interpreted md5 lambda per
+    * position: 306 s at sf0.1 vs ~1 s for this kernel, the q63 lesson
+    * re-learned on positional shingles.
+    *
+    * Docs with fewer than n + w - 1 tokens have no full window and
+    * yield no rows.
+    */
+  private[graft] def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String, n: Int, w: Int): DataFrame = {
+    require(n >= 1 && w >= 1, s"n and w must be >= 1, got ($n, $w)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = Kernels.fanOut(
+      df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t")))
+    in.as[(Long, String)].flatMap { case (id, text) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val tok = text.split(" ", -1)
+      val m = tok.length - n + 1
+      if (m < w) Iterator.empty
+      else {
+        val hs = new Array[Long](m)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(tok(i + j))
+            j += 1
+          }
+          md.reset()
+          val dg = md.digest(sb.toString.getBytes("UTF-8"))
+          var a = 0L
+          var k = 0
+          while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+          hs(i) = (a << 4) | ((dg(7) & 0xf0L) >>> 4)
+          i += 1
+        }
+        val out = new java.util.HashSet[Long]()
+        i = 0
+        while (i <= m - w) {
+          var mn = Long.MaxValue
+          var j = i
+          while (j < i + w) { if (hs(j) < mn) mn = hs(j); j += 1 }
+          out.add(mn): Unit
+          i += 1
+        }
+        val it = out.iterator()
+        Iterator.continually(if (it.hasNext) Some((id, it.next().longValue())) else None)
+          .takeWhile(_.isDefined).flatten
+      }
+    }.toDF("id", "fp")
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * Pipeline: per-row shingles → per-row MinHash signature (numHashes

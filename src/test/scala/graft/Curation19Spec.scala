@@ -44,6 +44,31 @@ class Curation19Spec extends SparkSpec {
     assert(got == expected && got.size == 1 + 4 + 10)
   }
 
+  test("winnowFingerprints: kernel is bit-identical to the declarative slice chain") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.mdHash
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "x y"), // too short: no full window, no rows
+      (4L, "a a a a a a"), // repeated tokens collapse to one fingerprint
+      (5L, "多 字 节 字 符 的 文 本 行")).toDF("doc_id", "text")
+    val kernel = graft.operators.Dedup
+      .winnowFingerprints(docs, "doc_id", "text", n = 3, w = 4)
+      .as[(Long, Long)].collect().toSet
+    val declarative = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 6)
+      .withColumn("hs", transform(sequence(lit(1), size(col("w")) - 2), i =>
+        mdHash(concat_ws(" ", slice(col("w"), i, lit(3))))))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - 3), i =>
+          array_min(slice(col("hs"), i, lit(4)))))).as("fp"))
+      .as[(Long, Long)].collect().toSet
+    assert(kernel == declarative && kernel.nonEmpty)
+    assert(!kernel.exists(_._1 == 3L) && kernel.count(_._1 == 4L) == 1)
+  }
+
   test("sessionize: gap rule matches hand model, invariant under partitioning") {
     import spark.implicits._
     val gap = 100L

@@ -552,4 +552,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment must never form all pairs:\n$p")
   }
+
+  test("q273 grid density: neighborhood lookup is an equi-join on claims, never cell x cell") {
+    val p = plan("q273_grid_density")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"8-neighborhood must be an exploded-claim equi-join:\n$p")
+  }
+
+  test("q274 itemsets: triple generation is in-row (Generate), no self-join anywhere") {
+    val p = plan("q274_itemsets3")
+    assert(p.contains("Generate"), s"expected in-row explode:\n$p")
+    assert(!p.contains("Join"), s"frequent triples must not self-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"bounded top-k expected:\n$p")
+  }
+
+  test("q276 winnowing: shared-fingerprint pairs via keyed join, never all pairs") {
+    val p = plan("q276_winnowing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint pairs must be an equi-join on fp:\n$p")
+  }
+
+  test("q278 item similarity: item totals broadcast back to the pair table") {
+    val p = plan("q278_item_similarity")
+    assert(p.contains("BroadcastHashJoin"), s"item totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"bounded top-k expected:\n$p")
+  }
+
+  test("q270 trimmed mean: rank window is keyed by the group, not global") {
+    val p = plan("q270_trimmed_mean")
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("o_orderpriority"),
+      s"window must partition by o_orderpriority: $winLine")
+  }
+
+  test("q275 sessionize: both windows keyed by user_id") {
+    val p = plan("q275_sessionize")
+    p.linesIterator.filter(_.trim.startsWith("+- Window")).foreach { l =>
+      assert(l.contains("user_id"), s"session window must be keyed: $l")
+    }
+    assert(!p.contains("CartesianProduct"), s"no products in sessionization:\n$p")
+  }
 }
