@@ -27,6 +27,19 @@ object GraftFunctions {
   /** Exact sum of a double column (decimal-cast), returned as double. */
   def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
+  /** All ordered 2-combinations of a SORTED array as
+    * array<struct<p1,p2>> — the k=2 sibling of [[triples]], same
+    * in-row discipline (quadratic only in the array size, no self-join
+    * shuffle). Requires |arr| ≥ 2 for ascending sequence bounds.
+    */
+  def pairs(arr: Column): Column = {
+    val el = (i: Column) => element_at(arr, i)
+    flatten(
+      transform(sequence(lit(1), size(arr) - 1), i =>
+        transform(sequence(i + 1, size(arr)), j =>
+          struct(el(i).as("p1"), el(j).as("p2")))))
+  }
+
   /** All ordered 3-combinations of a SORTED array as
     * array<struct<p1,p2,p3>> — combination generation stays IN-ROW
     * (nested higher-order transforms over index sequences), so frequent-

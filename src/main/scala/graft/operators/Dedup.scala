@@ -266,43 +266,44 @@ object Dedup {
     import spark.implicits._
     val in = Kernels.fanOut(
       df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t")))
-    in.as[(Long, String)].flatMap { case (id, text) =>
+    in.as[(Long, String)].mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      val tok = text.split(" ", -1)
-      val m = tok.length - n + 1
-      if (m < w) Iterator.empty
-      else {
-        val hs = new Array[Long](m)
-        val sb = new java.lang.StringBuilder
-        var i = 0
-        while (i < m) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(tok(i + j))
-            j += 1
+      rows.flatMap { case (id, text) =>
+        val tok = text.split(" ", -1)
+        val m = tok.length - n + 1
+        if (m < w) Iterator.empty
+        else {
+          val hs = new Array[Long](m)
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < m) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(tok(i + j))
+              j += 1
+            }
+            md.reset()
+            val dg = md.digest(sb.toString.getBytes("UTF-8"))
+            var a = 0L
+            var k = 0
+            while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+            hs(i) = (a << 4) | ((dg(7) & 0xf0L) >>> 4)
+            i += 1
           }
-          md.reset()
-          val dg = md.digest(sb.toString.getBytes("UTF-8"))
-          var a = 0L
-          var k = 0
-          while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
-          hs(i) = (a << 4) | ((dg(7) & 0xf0L) >>> 4)
-          i += 1
+          val out = new java.util.HashSet[Long]()
+          i = 0
+          while (i <= m - w) {
+            var mn = Long.MaxValue
+            var j = i
+            while (j < i + w) { if (hs(j) < mn) mn = hs(j); j += 1 }
+            out.add(mn): Unit
+            i += 1
+          }
+          import scala.jdk.CollectionConverters._
+          out.iterator().asScala.map(fp => (id, fp.longValue()))
         }
-        val out = new java.util.HashSet[Long]()
-        i = 0
-        while (i <= m - w) {
-          var mn = Long.MaxValue
-          var j = i
-          while (j < i + w) { if (hs(j) < mn) mn = hs(j); j += 1 }
-          out.add(mn): Unit
-          i += 1
-        }
-        val it = out.iterator()
-        Iterator.continually(if (it.hasNext) Some((id, it.next().longValue())) else None)
-          .takeWhile(_.isDefined).flatten
       }
     }.toDF("id", "fp")
   }

@@ -66,14 +66,10 @@ object Curation20 {
     * item totals broadcast back. Top-20 by (cos, pair) is exact.
     */
   private val q278ItemSimilarity: Q = (s, d) => {
-    val el = (i: org.apache.spark.sql.Column) => element_at(col("ps"), i)
     val baskets = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
     val pairs = baskets.filter(size(col("ps")) >= 2)
-      .select(explode(flatten(
-        transform(sequence(lit(1), size(col("ps")) - 1), i =>
-          transform(sequence(i + 1, size(col("ps"))), j =>
-            struct(el(i).as("p1"), el(j).as("p2")))))).as("t"))
+      .select(explode(graft.functions.GraftFunctions.pairs(col("ps"))).as("t"))
       .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"))
       .agg(count(lit(1)).as("co"))
     val items = baskets.select(explode(col("ps")).as("p"))
@@ -87,17 +83,25 @@ object Curation20 {
       .select(col("p1"), col("p2"), col("co"), round(col("cos"), 6).as("cos"))
   }
 
+  /** (source, wd, k, n): per-source word counts with the source total
+    * broadcast back — the shared distribution base for the diversity
+    * (q279) and JS-divergence (q285) queries; tokenization and the
+    * empty-token convention live in exactly one place.
+    */
+  private[queries] def sourceWordCounts(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val terms = df.select(col("source"), explode(words(col("text"))).as("wd"))
+      .groupBy("source", "wd").agg(count(lit(1)).as("k"))
+    terms.join(
+      broadcast(terms.groupBy("source").agg(sum(col("k")).as("n"))), Seq("source"))
+  }
+
   /** Lexical diversity per source: Shannon entropy and Simpson index
     * of the word distribution, from one (source, word) keyed count.
     * Per-term double contributions sum as fixed-scale decimals —
     * partition-order independent, the q141 discipline.
     */
   private val q279Diversity: Q = (s, d) => {
-    val terms = Tables.documents(s, d)
-      .select(col("source"), explode(words(col("text"))).as("wd"))
-      .groupBy("source", "wd").agg(count(lit(1)).as("k"))
-    val tot = terms.groupBy("source").agg(sum(col("k")).as("n"))
-    terms.join(broadcast(tot), Seq("source"))
+    sourceWordCounts(Tables.documents(s, d))
       .select(col("source"), col("n"),
         (-(col("k").cast(DoubleType) / col("n").cast(DoubleType)) *
           log(col("k").cast(DoubleType) / col("n").cast(DoubleType)))

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Q
-import graft.functions.TextFunctions.words
 import graft.sources.Tables
 
 /** Round-7 fourth wave: SymSpell-style edit-distance-1 join, pairwise
@@ -41,11 +40,8 @@ object Curation21 {
       .groupBy("v")
       .agg(sort_array(collect_set(col("w"))).as("ws"))
       .filter(size(col("ws")).between(2, 100))
-      .select(explode(flatten(transform(sequence(lit(1), size(col("ws")) - 1), i =>
-        transform(sequence(i + 1, size(col("ws"))), j =>
-          struct(element_at(col("ws"), i).as("w1"),
-            element_at(col("ws"), j).as("w2")))))).as("t"))
-      .select("t.w1", "t.w2")
+      .select(explode(graft.functions.GraftFunctions.pairs(col("ws"))).as("t"))
+      .select(col("t.p1").as("w1"), col("t.p2").as("w2"))
       // levenshtein BEFORE the distinct: ~90% of deletion-collisions
       // are distance-2 (two names can share a variant via different
       // delete positions) — filtering map-side keeps the dedup shuffle
@@ -63,11 +59,7 @@ object Curation21 {
     * fixed-scale decimals. Top-10 most divergent pairs.
     */
   private val q285JsDivergence: Q = (s, d) => {
-    val terms = Tables.documents(s, d)
-      .select(col("source"), explode(words(col("text"))).as("wd"))
-      .groupBy("source", "wd").agg(count(lit(1)).as("k"))
-    val tot = terms.groupBy("source").agg(sum(col("k")).as("n"))
-    val dist = terms.join(broadcast(tot), Seq("source"))
+    val dist = Curation20.sourceWordCounts(Tables.documents(s, d))
       .select(col("source"), col("wd"),
         (col("k").cast(DoubleType) / col("n").cast(DoubleType)).as("p"))
     val a = dist.select(col("wd"), col("source").as("s1"), col("p").as("pa"))
