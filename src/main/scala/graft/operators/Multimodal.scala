@@ -284,4 +284,58 @@ object Multimodal {
       }
     }
   }
+
+  case class AudioFeatures(id: Long, source: String, nSamples: Long, nWindows: Long,
+      zeroCrossings: Long, meanRms: Double, nSilent: Long)
+
+  /** Audio feature extraction over the payload treated as 8-bit
+    * unsigned PCM (the deterministic stand-in — swap the sample loop
+    * for an ffmpeg/JNI decoder when codecs exist; the Spark-side
+    * plumbing — binary column in, partition-wise kernel, typed feature
+    * row out — is the real shape). Per item: sample count, full
+    * `window`-sample frames, zero crossings around `center`, mean
+    * per-window RMS energy, and frames whose RMS falls below
+    * `silenceRms` (the silence-trim signal). Pure integer/closed-form
+    * double math — oracle-reproducible byte for byte.
+    */
+  def audioEnergy(media: Dataset[MediaItem], window: Int, center: Int,
+      silenceRms: Double): Dataset[AudioFeatures] = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { items =>
+      items.map { m =>
+        val p = m.payload
+        val n = p.length
+        var zc = 0L
+        var i = 1
+        while (i < n) {
+          val a = (p(i - 1) & 0xff) - center
+          val b = (p(i) & 0xff) - center
+          if (a * b < 0) zc += 1
+          i += 1
+        }
+        val nw = n / window
+        var rmsSum = 0.0
+        var silent = 0L
+        var w0 = 0
+        while (w0 < nw) {
+          var ss = 0L
+          var j = w0 * window
+          val end = j + window
+          while (j < end) {
+            val v = (p(j) & 0xff) - center
+            ss += v.toLong * v
+            j += 1
+          }
+          val rms = math.sqrt(ss.toDouble / window)
+          rmsSum += rms
+          if (rms < silenceRms) silent += 1
+          w0 += 1
+        }
+        AudioFeatures(m.id, m.source, n.toLong, nw.toLong, zc,
+          if (nw > 0) rmsSum / nw else 0.0, silent)
+      }
+    }
+  }
 }
