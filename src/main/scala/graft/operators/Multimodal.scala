@@ -338,4 +338,49 @@ object Multimodal {
       }
     }
   }
+
+  case class MotionFeatures(id: Long, source: String, nFrames: Long,
+      meanMotion: Double, maxMotion: Double, nStill: Long)
+
+  /** Video frame-motion features over the payload treated as
+    * consecutive `frameSize`-byte frames (the deterministic stand-in —
+    * the real shape is identical with an ffmpeg frame iterator):
+    * per-transition motion = mean |byte delta| between consecutive
+    * frames; per item the mean and max transition motion plus
+    * near-still transitions (motion < `stillBelow`) — the
+    * scene-cut / static-content signal video curation filters on.
+    */
+  def frameMotion(media: Dataset[MediaItem], frameSize: Int,
+      stillBelow: Double): Dataset[MotionFeatures] = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { items =>
+      items.map { m =>
+        val p = m.payload
+        val nf = p.length / frameSize
+        var sumM = 0.0
+        var maxM = 0.0
+        var still = 0L
+        var f = 1
+        while (f < nf) {
+          var acc = 0L
+          var j = 0
+          while (j < frameSize) {
+            val d = (p(f * frameSize + j) & 0xff) - (p((f - 1) * frameSize + j) & 0xff)
+            acc += math.abs(d)
+            j += 1
+          }
+          val mo = acc.toDouble / frameSize
+          sumM += mo
+          if (mo > maxM) maxM = mo
+          if (mo < stillBelow) still += 1
+          f += 1
+        }
+        val nt = nf - 1
+        MotionFeatures(m.id, m.source, nf.toLong,
+          if (nt > 0) sumM / nt else 0.0, maxM, still)
+      }
+    }
+  }
 }
