@@ -383,4 +383,44 @@ object Multimodal {
       }
     }
   }
+
+  case class ChannelStats(id: Long, source: String, channel: Int, n: Long,
+      sum: Long, sumSq: Long, min: Int, max: Int)
+
+  /** Per-channel byte statistics over the payload treated as an
+    * interleaved raster (position mod `channels` = channel index — the
+    * R/G/B plane split of a raw frame; the real shape is identical
+    * after an image decoder). One row per (item, channel) carrying the
+    * exact integer count / sum / sum-of-squares / min / max — the
+    * distributive partials any downstream mean/variance/contrast
+    * aggregate composes from without revisiting the bytes.
+    */
+  def channelStats(media: Dataset[MediaItem], channels: Int): Dataset[ChannelStats] = {
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { items =>
+      items.flatMap { m =>
+        val p = m.payload
+        val n = new Array[Long](channels)
+        val sm = new Array[Long](channels)
+        val sq = new Array[Long](channels)
+        val mn = Array.fill(channels)(Int.MaxValue)
+        val mx = Array.fill(channels)(Int.MinValue)
+        var i = 0
+        while (i < p.length) {
+          val ch = i % channels
+          val v = p(i) & 0xff
+          n(ch) += 1
+          sm(ch) += v
+          sq(ch) += v.toLong * v
+          if (v < mn(ch)) mn(ch) = v
+          if (v > mx(ch)) mx(ch) = v
+          i += 1
+        }
+        (0 until channels).iterator.filter(c => n(c) > 0).map(c =>
+          ChannelStats(m.id, m.source, c, n(c), sm(c), sq(c), mn(c), mx(c)))
+      }
+    }
+  }
 }

@@ -82,6 +82,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(0).getDouble(0) == 11.0 && got(1).isNullAt(0))
   }
 
+  test("channelStats kernel equals a brute-force model, invariant under partitioning") {
+    import spark.implicits._
+    val docs = Seq((1L, "s1", "abcXYZ012"), (2L, "s2", "a"), (3L, "s1", ""))
+      .toDF("doc_id", "source", "text")
+    val expected = (for {
+      (id, src, txt) <- Seq((1L, "s1", "abcXYZ012"), (2L, "s2", "a"))
+      ch <- 0 until 3
+      bytes = txt.getBytes("UTF-8").zipWithIndex.collect {
+        case (b, i) if i % 3 == ch => (b & 0xff).toLong
+      }
+      if bytes.nonEmpty
+    } yield (id, src, ch, bytes.length.toLong, bytes.sum,
+      bytes.map(v => v * v).sum, bytes.min.toInt, bytes.max.toInt)).toSet
+    for (parts <- Seq(1, 4)) {
+      val got = Multimodal
+        .channelStats(Multimodal.mediaFromDocuments(docs.repartition(parts)), 3)
+        .collect().map(c =>
+          (c.id, c.source, c.channel, c.n, c.sum, c.sumSq, c.min, c.max)).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.channelStats(Multimodal.mediaFromDocuments(docs), 0)
+    }
+  }
+
   test("multimodal kernels: precondition guards and empty-payload handling") {
     import spark.implicits._
     val docs = Seq((1L, "s", "")).toDF("doc_id", "source", "text")

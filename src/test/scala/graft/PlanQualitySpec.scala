@@ -593,4 +593,35 @@ class PlanQualitySpec extends SparkSpec {
     }
     assert(!p.contains("CartesianProduct"), s"no products in sessionization:\n$p")
   }
+
+  test("q301 vocab coverage: vocabulary rank is distributed, no global window over types") {
+    val p = plan("q301_vocab_coverage")
+    // Ranking.globalRank keys its window by the range-bucket id — the
+    // only windows allowed in this plan are __bkt-partitioned
+    p.linesIterator.filter(_.trim.startsWith("+- Window")).foreach { l =>
+      assert(l.contains("__bkt"), s"rank window must be bucket-keyed: $l")
+    }
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+  }
+
+  test("q304 sliding distinct: hour-list join broadcasts, no range join") {
+    val p = plan("q304_sliding_distinct")
+    assert(p.contains("BroadcastHashJoin"), s"hour list must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"window expansion must stay an equi join:\n$p")
+  }
+
+  test("q307 streak: islands window is keyed by user_id") {
+    val p = plan("q307_streak")
+    p.linesIterator.filter(_.trim.startsWith("+- Window")).foreach { l =>
+      assert(l.contains("user_id"), s"streak window must be keyed: $l")
+    }
+  }
+
+  test("q308 conformal: train means and qhat broadcast back to the event scan") {
+    val p = plan("q308_conformal")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"mu and qhat joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+  }
 }
