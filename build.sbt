@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A 313-query suite generates thousands of whole-stage-codegen
+  // classes in ONE JVM; the JDK17 default 240 MB code cache fills
+  // mid-suite, the JIT stops compiling, and unrelated queries go
+  // interpreted at 20-40x (measured: q137-q24x window of a full
+  // suite run). Size the cache for the suite and keep flushing on.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

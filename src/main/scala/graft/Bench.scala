@@ -39,10 +39,20 @@ object Bench {
     // JIT/codegen/page-cache warmup on the smallest inputs: one silent
     // pass of every query at sf0.001 (measurement below is sfDir).
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+    // SPARK_GRAFT_WARMUP=0 skips the pass; SPARK_GRAFT_WARMUP_FILTER
+    // warms a prefix subset — both are perf-bisect knobs (a suite
+    // regression that vanishes without warmup is warmup-borne state)
+    val warmFilter: String => Boolean = sys.env.get("SPARK_GRAFT_WARMUP_FILTER") match {
+      case Some(pfx) => { val ps = pfx.split(","); n => ps.exists(n.startsWith) }
+      case None => _ => true
+    }
+    if (!sys.env.get("SPARK_GRAFT_WARMUP").contains("0") &&
+        new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (warmFilter(name)) {
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
       }
     }
     // bucketed-layout tables are PREBUILT data layout, not query work
@@ -67,16 +77,30 @@ object Bench {
       case None => _ => true
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1).filter(t => nameFilter(t._1))
-    val results = sorted.map { case (name, fn) => name -> timeOne(spark, name, fn) }
-    // Second pass with per-query session isolation: a fresh session
-    // (own temp views, conf, cached plans) and a cleared context-wide
-    // cache before each query. Suite numbers show steady-state warm
-    // cost; isolated numbers make suite-order state bleed (leaked
-    // caches, view churn, conf leftovers) attributable — a regression
-    // only in the suite column is state bleed, not the query. Disable
-    // with SPARK_GRAFT_ISOLATED=0.
+    // Best-of-two suite passes. The build hosts are oversubscribed VMs
+    // with CPU-steal windows (measured: /proc/stat steal exceeding
+    // user+sys cumulatively; two same-code suite runs each had a
+    // ~20-min window of 20-90x slowdowns over DIFFERENT query ranges).
+    // A single pass confuses a steal window with a regression; the
+    // per-query min of two passes keeps any window that doesn't cover
+    // both runs out of the artifact. SPARK_GRAFT_PASSES overrides.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    val runs = (1 to passes).map { _ =>
+      sorted.map { case (name, fn) => name -> timeOne(spark, name, fn) }.toMap
+    }
+    val results = sorted.map { case (name, _) =>
+      val ts = runs.map(_(name))
+      val ok = ts.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    // Optional extra pass with per-query session isolation: a fresh
+    // session (own temp views, conf, cached plans) and a cleared
+    // context-wide cache before each query — makes suite-order state
+    // bleed (leaked caches, view churn, conf leftovers) attributable.
+    // Off by default since the dual suite pass already bounds noise;
+    // enable with SPARK_GRAFT_ISOLATED=1.
     val isolated =
-      if (sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")) Map.empty[String, Double]
+      if (!sys.env.get("SPARK_GRAFT_ISOLATED").contains("1")) Map.empty[String, Double]
       else sorted.map { case (name, fn) =>
         spark.catalog.clearCache()
         val s2 = spark.newSession() // fresh state — re-apply runtime-set confs
