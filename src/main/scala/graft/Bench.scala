@@ -131,12 +131,15 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
   }
 
-  /** Commit-time regression tripwire: any query >1.5× its best prior
-    * round (tools/bench_best.json, suite-mode numbers) and above the
-    * 0.3 s jitter floor prints a named warning — the check that would
-    * have caught q63/q56 the day they regressed instead of a round
-    * later. Warnings only; host noise can spike a query transiently,
-    * so the bench never fails on it.
+  /** Commit-time regression tripwire, host-speed normalized. Anchors
+    * are per-query best-prior times (tools/bench_best.json), but build
+    * hosts vary ~2x in speed between provisions, so absolute ratios
+    * flag the whole suite on a slow host. Instead: every query's
+    * ratio-to-best is divided by the run's MEDIAN ratio (the host-speed
+    * factor); a query is flagged only when it is >1.5x slower than the
+    * rest of the suite moved — the check that catches q63/q56-style
+    * single-query regressions on any host without drowning them in
+    * host noise.
     */
   private def warnRegressions(qs: Map[String, Double]): Unit = {
     val path = java.nio.file.Paths.get(
@@ -145,15 +148,21 @@ object Bench {
     val txt = java.nio.file.Files.readString(path)
     val entry = """"(q\w+)":\s*(-?[0-9.]+)""".r
     val best = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val flagged = qs.toSeq.sortBy(_._1).flatMap { case (name, t) =>
-      best.get(name).collect {
-        case b if t > 0.3 && b > 0 && t > b * 1.5 =>
-          f"[bench] REGRESSION $name: $t%.2fs vs best-prior $b%.2fs (${t / b}%.1fx)"
-      }
+    val ratios = qs.toSeq.flatMap { case (name, t) =>
+      best.get(name).collect { case b if t > 0 && b > 0 => name -> (t / b) }
     }
+    if (ratios.isEmpty) return
+    val sortedR = ratios.map(_._2).sorted
+    val hostFactor = sortedR(sortedR.size / 2)
+    val flagged = ratios.sortBy(_._1).collect {
+      case (name, r) if qs(name) > 0.3 && r > hostFactor * 1.5 =>
+        f"[bench] REGRESSION $name: ${qs(name)}%.2fs vs best-prior ${best(name)}%.2fs " +
+          f"(${r}%.1fx raw, ${r / hostFactor}%.1fx host-normalized)"
+    }
+    System.err.println(f"[bench] host-speed factor vs best-prior anchors: $hostFactor%.2fx (median ratio)")
     flagged.foreach(System.err.println)
     if (flagged.nonEmpty)
-      System.err.println(s"[bench] ${flagged.size} queries exceed 1.5x best-prior " +
+      System.err.println(s"[bench] ${flagged.size} queries exceed 1.5x the suite's own movement " +
         "(rerun before believing: single-query spikes are usually host noise)")
   }
 }
