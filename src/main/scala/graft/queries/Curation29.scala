@@ -18,26 +18,33 @@ object Curation29 {
 
   /** q319: dataset-cartography data map — K=8 deterministic pseudo-epoch
     * classifier scores per document (the q140 hashed-linear family,
-    * seed-varied), per-doc mean confidence and variability, bucketed
-    * into easy / ambiguous / hard. All K scores compute IN-ROW from one
-    * scan (ordered comprehension — no cross-row float order anywhere);
-    * the map is the (source, bucket) count table curation triages from.
+    * seed-varied via Kirsch-Mitzenmacher double hashing: ONE md5 per
+    * word yields all K epoch weights as (h1 + k·h2) — the q198
+    * discipline, 8x fewer digests), per-doc mean confidence and
+    * variability, bucketed into easy / ambiguous / hard. All K scores
+    * compute IN-ROW from one scan (ordered fold — no cross-row float
+    * order anywhere); the map is the (source, bucket) count table
+    * curation triages from.
     */
   private val q319DatasetCartography: Q = (s, d) => {
+    import graft.functions.TextFunctions.mdHash2
     val docs = Tables.documents(s, d)
     val w = words(col("text"))
+    val hp = transform(w, t => struct(mdHash(t).as("h1"), mdHash2(t).as("h2")))
+    // hp materializes as a column FIRST so each word is digested once,
+    // not once per epoch (interpreted HOFs get no subexpr elimination)
     val scores = transform(sequence(lit(1L), lit(8L)), k => {
-      val wsum = aggregate(
-        transform(w, t =>
-          pmod(mdHash(concat_ws("|", lit("ep"), k, t)), lit(2001L)) - lit(1000L)),
-        lit(0L), (acc, x) => acc + x)
+      val wsum = aggregate(col("hp"),
+        lit(0L), (acc, x) =>
+          acc + pmod(x.getField("h1") + k * x.getField("h2"), lit(2001L)) - lit(1000L))
       lit(1.0) / (lit(1.0) + exp(-wsum.cast(DoubleType) /
-        (lit(1000.0) * size(w).cast(DoubleType))))
+        (lit(1000.0) * size(col("hp")).cast(DoubleType))))
     })
     val conf = aggregate(col("sc"), lit(0.0), (a, x) => a + x) / lit(8.0)
     val variab = sqrt(aggregate(col("sc"), lit(0.0),
       (a, x) => a + (x - col("conf")) * (x - col("conf"))) / lit(8.0))
-    docs.select(col("source"), scores.as("sc"))
+    docs.select(col("source"), hp.as("hp"))
+      .select(col("source"), scores.as("sc"))
       .withColumn("conf", conf)
       .withColumn("variab", variab)
       .withColumn("bucket",
@@ -151,12 +158,17 @@ object Curation29 {
 
   val oracles: Map[String, String] = Map(
     "q319_dataset_cartography" ->
-      s"""WITH sc AS (SELECT source,
-         |    [1.0 / (1.0 + exp(-(list_aggregate(list_transform(str_split(text, ' '),
-         |        t -> ${hashSql.format("'ep|' || k || '|' || t")} % 2001 - 1000),
-         |      'sum')::DOUBLE) / (1000.0 * len(str_split(text, ' '))::DOUBLE)))
-         |      for k in range(1, 9)] scores
+      s"""WITH hp AS (SELECT source,
+         |    list_transform(str_split(text, ' '), t -> struct_pack(
+         |      h1 := ('0x' || substr(md5(t), 1, 15))::BIGINT,
+         |      h2 := ('0x' || substr(md5(t), 16, 12))::BIGINT)) hp
          |  FROM documents),
+         |sc AS (SELECT source,
+         |    [1.0 / (1.0 + exp(-(list_sum(list_transform(hp,
+         |        x -> (x.h1 + k * x.h2) % 2001 - 1000))::DOUBLE) /
+         |      (1000.0 * len(hp)::DOUBLE)))
+         |      for k in range(1, 9)] scores
+         |  FROM hp),
          |cv AS (SELECT source, list_sum(scores) / 8.0 conf, scores FROM sc),
          |m AS (SELECT source, conf,
          |    sqrt(list_sum(list_transform(scores, x -> (x - conf) * (x - conf))) / 8.0) variab
