@@ -624,4 +624,25 @@ class PlanQualitySpec extends SparkSpec {
       s"mu and qhat joins must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no products:\n$p")
   }
+
+  test("q315 entity resolution: candidates from a hash block join, top-30 is TakeOrdered") {
+    val p = plan("q315_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must stay an equi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"bounded top-k, not a global sort:\n$p")
+  }
+
+  test("q323 geometric median: corpus-side weight join is keyed, only label-domain frames broadcast") {
+    val p = plan("q323_geometric_median")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no products in the Weiszfeld step:\n$p")
+  }
+
+  test("q327 MMD: rank windows are bucket-keyed, pairing is an equi join") {
+    val p = plan("q327_mmd_linear")
+    p.linesIterator.filter(_.trim.startsWith("+- Window")).foreach { l =>
+      assert(l.contains("__bkt"), s"rank window must be bucket-keyed: $l")
+    }
+    assert(!p.contains("CartesianProduct"), s"never the n^2 kernel matrix:\n$p")
+  }
 }
