@@ -107,20 +107,32 @@ object Bench {
         graft.sources.Bucketing.sessionConfs.foreach { case (k, v) => s2.conf.set(k, v) }
         name -> timeOne(s2, name, fn)
       }.toMap
-    printJson(results.toMap, isolated, sfDir)
-    warnRegressions(results.toMap)
+    val fns = sorted.toMap
+    val adjudicated = warnRegressions(results.toMap,
+      (n: String) => fns.get(n).map(fn => timeOne(spark, n, fn)))
+    printJson(results.toMap, isolated, sfDir, adjudicated)
     spark.stop()
   }
 
-  private def printJson(qs: Map[String, Double], iso: Map[String, Double], sf: String): Unit = {
+  private def printJson(qs: Map[String, Double], iso: Map[String, Double], sf: String,
+                        hostFactor: Double): Unit = {
     def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = qs.values.filter(_ >= 0).sum
     val isoPart =
       if (iso.isEmpty) ""
       else f""","value_isolated":${iso.values.filter(_ >= 0).sum}%.3f,"queries_isolated":${obj(iso)}"""
+    // Host identity stamp: build hosts vary ~2x in speed between
+    // provisions, so naively dividing raw artifacts across rounds reads
+    // host variance as regression. host_factor is this run's median
+    // per-query ratio vs the best-prior anchors (tools/bench_best.json)
+    // — divide by it before comparing rounds. hostname/cpus identify
+    // the provision; -1.0 factor means no anchors were readable.
+    val hostName = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "unknown" }
+    val hostPart =
+      f""","host":{"name":"$hostName","cpus":${Runtime.getRuntime.availableProcessors()},"factor_vs_best":$hostFactor%.3f}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(qs)}$isoPart,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(qs)}$isoPart$hostPart,"sf":"$sf"}"""
     println(line)
     // Self-contained artifact: the driver's stdout capture is a
     // truncated tail at this query count (BENCH_r06 kept only the last
@@ -141,28 +153,55 @@ object Bench {
     * single-query regressions on any host without drowning them in
     * host noise.
     */
-  private def warnRegressions(qs: Map[String, Double]): Unit = {
+  /** Returns the host-speed factor (median ratio vs anchors) for the
+    * artifact stamp; -1.0 when no anchors are readable.
+    */
+  private def warnRegressions(qs: Map[String, Double],
+                              rerun: String => Option[Double]): Double = {
     val path = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST", "tools/bench_best.json"))
-    if (!java.nio.file.Files.isReadable(path)) return
+    if (!java.nio.file.Files.isReadable(path)) return -1.0
     val txt = java.nio.file.Files.readString(path)
     val entry = """"(q\w+)":\s*(-?[0-9.]+)""".r
     val best = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     val ratios = qs.toSeq.flatMap { case (name, t) =>
       best.get(name).collect { case b if t > 0 && b > 0 => name -> (t / b) }
     }
-    if (ratios.isEmpty) return
+    if (ratios.isEmpty) return -1.0
     val sortedR = ratios.map(_._2).sorted
     val hostFactor = sortedR(sortedR.size / 2)
-    val flagged = ratios.sortBy(_._1).collect {
-      case (name, r) if qs(name) > 0.3 && r > hostFactor * 1.5 =>
-        f"[bench] REGRESSION $name: ${qs(name)}%.2fs vs best-prior ${best(name)}%.2fs " +
-          f"(${r}%.1fx raw, ${r / hostFactor}%.1fx host-normalized)"
+    val suspects = ratios.sortBy(_._1).collect {
+      case (name, r) if qs(name) > 0.3 && r > hostFactor * 1.5 => name
     }
     System.err.println(f"[bench] host-speed factor vs best-prior anchors: $hostFactor%.2fx (median ratio)")
+    // The relative check absorbs a UNIFORM suite slowdown into the host
+    // factor by construction — surface one loudly so a global codegen /
+    // conf regression isn't silently normalized away (the hosts really
+    // do vary ~2x; beyond 2.5x is no longer plausible provision noise).
+    if (hostFactor > 2.5)
+      System.err.println(f"[bench] WARNING: host factor $hostFactor%.2fx exceeds the 2.5x provision-variance " +
+        "bound — the WHOLE suite slowed vs best-prior; suspect a global conf/codegen regression, not the host")
+    // Single-query spikes are usually suite-mode noise (JIT code-cache
+    // pressure from 300+ compiled plans, CPU-steal windows). Adjudicate
+    // each suspect with one isolated rerun before crying REGRESSION —
+    // the r7 q27 spike (1.84x in-suite, 1.0x isolated) is the motivating
+    // case.
+    val flagged = suspects.flatMap { name =>
+      val t2 = rerun(name).filter(_ > 0).fold(qs(name))(math.min(qs(name), _))
+      val r2 = t2 / best(name)
+      if (r2 > hostFactor * 1.5)
+        Some(f"[bench] REGRESSION $name: $t2%.2fs vs best-prior ${best(name)}%.2fs " +
+          f"(${r2}%.1fx raw, ${r2 / hostFactor}%.1fx host-normalized; survived isolated rerun)")
+      else {
+        System.err.println(f"[bench] spike $name adjudicated as noise: suite ${qs(name)}%.2fs, " +
+          f"isolated rerun $t2%.2fs (${r2 / hostFactor}%.1fx host-normalized)")
+        None
+      }
+    }
     flagged.foreach(System.err.println)
     if (flagged.nonEmpty)
       System.err.println(s"[bench] ${flagged.size} queries exceed 1.5x the suite's own movement " +
-        "(rerun before believing: single-query spikes are usually host noise)")
+        "even after an isolated rerun")
+    hostFactor
   }
 }

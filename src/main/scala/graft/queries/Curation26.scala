@@ -154,7 +154,10 @@ object Curation26 {
       .join(broadcast(hrs), Seq("w"))
       .groupBy("w")
       .agg(count_distinct(col("user_id")).as("u"))
-      .select(timestamp_seconds(col("w") * 3600).as("w_end"), col("u"))
+      // (w+1)*3600 is the true EXCLUSIVE end of the trailing 6h window
+      // anchored at hour w (r7 advice: w*3600 was the last hour's START
+      // mislabeled as the end); oracle emits the same expression
+      .select(timestamp_seconds((col("w") + 1) * 3600).as("w_end"), col("u"))
       .orderBy("w_end")
   }
 
@@ -328,7 +331,7 @@ object Curation26 {
         |hrs AS (SELECT DISTINCT h w FROM pairs),
         |ex AS (SELECT user_id, h + o w FROM pairs
         |  CROSS JOIN (SELECT unnest(range(0, 6)) o))
-        |SELECT make_timestamp(w * 3600000000) AS w_end, count(DISTINCT user_id)::BIGINT AS u
+        |SELECT make_timestamp((w + 1) * 3600000000) AS w_end, count(DISTINCT user_id)::BIGINT AS u
         |FROM ex JOIN hrs USING (w) GROUP BY w ORDER BY w_end""".stripMargin,
     "q305_doremi_step" ->
       """WITH per AS (SELECT source, count(*) nd,

@@ -66,6 +66,14 @@ object Curation27 {
     * sum / sum-of-squares per (source, channel) from one partition-wise
     * kernel pass, exact in any partitioning; mean and a population std
     * from the integer sums with one double division each.
+    *
+    * ORACLE CONTRACT (ASCII corpus): channelStats consumes UTF-8 BYTES
+    * (`text.cast(binary)`) while the DuckDB oracle reads `ord(text[i])`
+    * per CHARACTER — identical only while the synthetic documents.text
+    * is pure ASCII (the data-contract canary pins that). A non-ASCII
+    * corpus would shift channel assignment; if the corpus ever changes,
+    * re-encode the oracle over bytes (DuckDB `encode(text)`), same
+    * convention as the q280/q292 byte oracles in Curation23/24.
     */
   private val q311ImageChannels: Q = (s, d) => {
     val media = graft.operators.Multimodal

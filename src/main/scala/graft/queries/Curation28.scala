@@ -50,30 +50,63 @@ object Curation28 {
   }
 
   /** q315: blocked entity-resolution scoring (Fellegi-Sunter shape with
-    * fixed log-weights — the EM fit is a separate concern): candidates
-    * come from a (nation, balance-kilobucket) equi-join block, never
-    * all pairs; agreement on segment / balance-proximity / name-length
-    * adds or subtracts the field's log-weight; top-30 under a total
-    * order.
+    * fixed log-weights — the EM fit is a separate concern) with
+    * TARGET-SIZE blocking (the `SCALE.md` production knob, r7 verdict
+    * item 3): candidates are same-(nation, balance-kilobucket) pairs at
+    * most B apart in the (balance, id) rank order, where B =
+    * `spark.graft.er.targetBlockSize` (default 50; <= 0 restores the
+    * unbounded legacy block join). Within a block, ranks are contiguous
+    * under the (nat, kb, bal, id) total order, so whenever every block
+    * holds <= B rows — true at the sf0.01 oracle gate, max block 12 —
+    * the window covers every in-block pair and the result is provably
+    * identical to the legacy all-pairs-in-block contract. When blocks
+    * outgrow B the candidate set is the bounded sorted-neighborhood
+    * window (the same bounded-population discipline as q284's deletion
+    * neighborhoods). Physically: distributed global rank
+    * ([[graft.operators.Ranking.globalRank]] — no single-partition
+    * window), chunk key = rank div B, and each row probes its own and
+    * its predecessor chunk — join-key population is capped at 2B per
+    * key regardless of corpus size, never all pairs. Scoring stays
+    * in-row (the score is symmetric in the pair, so least/greatest id
+    * normalization after the rank-ordered join preserves the legacy
+    * orientation); top-30 under a total order.
     */
   private val q315EntityResolution: Q = (s, d) => {
+    val B = s.conf.get("spark.graft.er.targetBlockSize", "50").toInt
     val c = Tables.customer(s, d).select(col("c_custkey").as("id"),
       col("c_name").as("nm"), col("c_nationkey").as("nat"),
       col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"),
       floor(col("c_acctbal") / 1000).cast(LongType).as("kb"))
-    val a = c.select(col("id").as("id_a"), col("nm").as("nm_a"), col("nat"),
-      col("bal").as("bal_a"), col("seg").as("seg_a"), col("kb"))
-    val b = c.select(col("id").as("id_b"), col("nm").as("nm_b"), col("nat"),
-      col("bal").as("bal_b"), col("seg").as("seg_b"), col("kb"))
-    a.join(b, Seq("nat", "kb")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (when(col("seg_a") === col("seg_b"), 1.099).otherwise(-0.511) +
-          when(abs(col("bal_a") - col("bal_b")) <= 100.0, 1.386).otherwise(-0.288) +
-          when(length(col("nm_a")) === length(col("nm_b")), 0.405).otherwise(-0.105))
+    def scored(df: org.apache.spark.sql.DataFrame) = df
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        (when(col("seg_x") === col("seg_y"), 1.099).otherwise(-0.511) +
+          when(abs(col("bal_x") - col("bal_y")) <= 100.0, 1.386).otherwise(-0.288) +
+          when(length(col("nm_x")) === length(col("nm_y")), 0.405).otherwise(-0.105))
           .as("score"))
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("id_a"), col("id_b"))
       .limit(30)
+    if (B <= 0) {
+      val a = c.select(col("id").as("id_x"), col("nm").as("nm_x"), col("nat"),
+        col("bal").as("bal_x"), col("seg").as("seg_x"), col("kb"))
+      val b = c.select(col("id").as("id_y"), col("nm").as("nm_y"), col("nat"),
+        col("bal").as("bal_y"), col("seg").as("seg_y"), col("kb"))
+      scored(a.join(b, Seq("nat", "kb")).filter(col("id_x") < col("id_y")))
+    } else {
+      val ranked = graft.operators.Ranking.globalRank(c, "grk",
+        col("nat"), col("kb"), col("bal"), col("id"))
+        .withColumn("ck", expr(s"(grk - 1) div $B"))
+      val a = ranked.select(col("nat"), col("kb"), col("ck"),
+        col("id").as("id_x"), col("nm").as("nm_x"), col("bal").as("bal_x"),
+        col("seg").as("seg_x"), col("grk").as("rk_x"))
+      val b = ranked.select(col("nat"), col("kb"),
+        explode(array(col("ck"), col("ck") - 1)).as("ck"),
+        col("id").as("id_y"), col("nm").as("nm_y"), col("bal").as("bal_y"),
+        col("seg").as("seg_y"), col("grk").as("rk_y"))
+      scored(a.join(b, Seq("nat", "kb", "ck"))
+        .filter((col("rk_y") - col("rk_x")).between(1, B)))
+    }
   }
 
   /** q316: inverse-propensity off-policy evaluation — logged actions
@@ -206,15 +239,21 @@ object Curation28 {
         |  sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits_at_10
         |FROM q LEFT JOIN fh USING (qid)""".stripMargin,
     "q315_entity_resolution" ->
+      // Target-size blocking contract (B = 50, the engine default):
+      // same-(nat, kb) pairs at most B apart in the (bal, id) rank
+      // order. Identical to the legacy unbounded block join whenever
+      // every block holds <= B rows (sf0.01 max block = 12).
       """WITH c AS (SELECT c_custkey id, c_name nm, c_nationkey nat,
         |    c_acctbal bal, c_mktsegment seg, floor(c_acctbal / 1000)::BIGINT kb
-        |  FROM customer)
-        |SELECT a.id AS id_a, b.id AS id_b,
+        |  FROM customer),
+        |r AS (SELECT *, row_number() OVER (ORDER BY nat, kb, bal, id) rk FROM c)
+        |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
         |  round(
         |    (CASE WHEN a.seg = b.seg THEN 1.099 ELSE -0.511 END) +
         |    (CASE WHEN abs(a.bal - b.bal) <= 100.0 THEN 1.386 ELSE -0.288 END) +
         |    (CASE WHEN len(a.nm) = len(b.nm) THEN 0.405 ELSE -0.105 END), 6) AS score
-        |FROM c a JOIN c b ON a.nat = b.nat AND a.kb = b.kb AND a.id < b.id
+        |FROM r a JOIN r b ON a.nat = b.nat AND a.kb = b.kb
+        |  AND b.rk - a.rk BETWEEN 1 AND 50
         |ORDER BY score DESC, id_a, id_b LIMIT 30""".stripMargin,
     "q316_ips_eval" ->
       """WITH ev AS (SELECT user_id % 4 ctx, event_type,
@@ -270,13 +309,12 @@ object Curation28 {
         |ps AS (SELECT round((n::DOUBLE * CAST(sxy AS DOUBLE) -
         |      sx::DOUBLE * CAST(sy AS DOUBLE)) /
         |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) slope_pooled
-        |  FROM pooled)
-        |SELECT event_type, n::BIGINT AS n,
+        |  FROM pooled),
+        |grp AS (SELECT event_type, n::BIGINT AS n,
         |  round((n::DOUBLE * CAST(sxy AS DOUBLE) - sx::DOUBLE * CAST(sy AS DOUBLE)) /
-        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope_group,
-        |  slope_pooled,
-        |  sign((n::DOUBLE * CAST(sxy AS DOUBLE) - sx::DOUBLE * CAST(sy AS DOUBLE)) /
-        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) <>
-        |    sign(slope_pooled) AS flipped
-        |FROM per CROSS JOIN ps ORDER BY event_type""".stripMargin)
+        |    (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope_group
+        |  FROM per)
+        |SELECT event_type, n, slope_group, slope_pooled,
+        |  sign(slope_group) <> sign(slope_pooled) AS flipped
+        |FROM grp CROSS JOIN ps ORDER BY event_type""".stripMargin)
 }

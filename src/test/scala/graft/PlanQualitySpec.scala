@@ -645,4 +645,20 @@ class PlanQualitySpec extends SparkSpec {
     }
     assert(!p.contains("CartesianProduct"), s"never the n^2 kernel matrix:\n$p")
   }
+
+  test("q284 symspell join: deletion-variant equi-join, never all-pairs") {
+    val p = plan("q284_symspell_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay a hash equi-join on deletion variants:\n$p")
+  }
+
+  test("q315 entity resolution: target-size chunk equi-join, never all-pairs") {
+    val p = plan("q315_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay a hash equi-join on (nat, kb, chunk):\n$p")
+    // the rank-chunk key must be part of the join, not filtered after a
+    // bare (nat, kb) join — the bounded-block discipline itself
+    assert(p.contains("ck#") || p.contains("ck "),
+      s"chunk key missing from the plan:\n$p")
+  }
 }

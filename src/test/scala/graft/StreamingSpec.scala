@@ -355,6 +355,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 2L, 9.0), (2L, 3L, 4.0)), s"got $got")
   }
 
+  test("watermark drops late rows under the dual-watermark contract (q328's mechanism)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = input.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+      .writeStream.format("memory").queryName("late").outputMode("update").start()
+    // batch 0: commits watermark to 10:59 - 30 min = 10:29
+    input.addData(Ev(1, ts(59), 1, "c", 1.0)); q.processAllAvailable()
+    // batch 1: not late; carries 10:29 forward as batch 2's late bound
+    // (batch N filters late events with the watermark in effect during
+    // batch N-1 — a 2-batch run evicts but never drops)
+    input.addData(Ev(2, ts(45), 1, "c", 1.0)); q.processAllAvailable()
+    // batch 2: 10:05's window ends 10:10 <= 10:29 -> DROPPED;
+    //          10:35's window ends 10:40 >  10:29 -> kept
+    input.addData(Ev(3, ts(5), 1, "c", 1.0), Ev(4, ts(35), 1, "c", 1.0))
+    q.processAllAvailable()
+    val windows = spark.table("late").select("w").collect()
+      .map(_.getTimestamp(0).toString).toSet
+    val dropped = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    assert(dropped > 0, "engine reported no watermark-dropped rows")
+    assert(windows == Set("2024-01-01 10:50:00.0", "2024-01-01 10:40:00.0",
+      "2024-01-01 10:30:00.0"), s"got $windows")
+  }
+
   test("stream-static enrichment join picks up the static dimension per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
