@@ -741,38 +741,19 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Brute-force n-gram Jaccard pairs within a blocking key (e.g. lang).
-    * The blocking key bounds the quadratic term to the largest block;
-    * for unblocked corpora use [[minhashLshPairs]].
+  /** Shingle-hash each doc into sorted 60-bit hashes BEFORE any
+    * shuffle: md5 per shingle in a JVM loop (the declarative
+    * transform(mdHash) runs interpreted — measured ~2× slower), so the
+    * downstream shuffles carry 8-byte longs, not shingle strings. Same
+    * md5→60-bit byte-mask parse as minhashSignatures (bit-identity
+    * with mdHash proven in TextFunctionsSpec).
     */
-  def ngramJaccardPairs(
+  private def shingleHashDocs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int, threshold: Double, tiles: Int = 8): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
-    // Jaccard over 60-bit shingle hashes. The pair loop is a
-    // branch-light numeric kernel that a declarative join would
-    // evaluate interpreted (~6µs/pair) — so: shingle-hash each doc
-    // in a pre-shuffle JVM kernel, then shuffle on (block, tile-pair)
-    // and run the sorted-merge kernel per group in the executors.
-    // The tile-pair decomposition INSIDE each block matters at scale:
-    // blocking keys are skewed (an "en" block is most of a web corpus),
-    // so a plain per-block shuffle serializes the biggest block on one
-    // task — with tiles, per-task memory and work drop to 2/tiles of a
-    // block, and parallelism is |blocks|·tiles²/2 instead of |blocks|.
-    // Nothing is materialized on the driver.
-    // Exact prunes before touching arrays: the size band
-    // (J ≥ t ⇒ min/max ≥ t). Distinct-intersection over sorted arrays
-    // by two-pointer with duplicate skip — identical counts to
-    // array_intersect/list_intersect.
+      n: Int): org.apache.spark.sql.Dataset[(String, Long, Array[Long])] = {
     val spark = df.sparkSession
     import spark.implicits._
-    // hash BEFORE the shuffle: md5 per shingle in a JVM loop (the
-    // declarative transform(mdHash) runs interpreted — measured ~2×
-    // slower), and the shuffle then carries 8-byte longs, not shingle
-    // strings. Same md5→60-bit byte-mask parse as minhashSignatures
-    // (bit-identity with mdHash proven in TextFunctionsSpec).
-    val sh = Kernels.fanOut(df.select(
+    Kernels.fanOut(df.select(
         col(blockCol).cast("string").as("blk"), col(idCol).cast("long").as("id"),
         col(textCol).cast("string").as("t")))
       .as[(String, Long, String)]
@@ -796,6 +777,145 @@ object Dedup {
           (blk, id, h)
         }
       }
+  }
+
+  /** Sorted-merge distinct-intersection Jaccard over two sorted hash
+    * arrays — the shared confirm kernel of both ngramJaccardPairs
+    * paths. Duplicate-skip makes the count identical to
+    * array_intersect/list_intersect; sizes keep duplicates, matching
+    * the oracle's len() semantics.
+    */
+  private def jaccardSorted(ha: Array[Long], hb: Array[Long]): Double = {
+    val na = ha.length; val nb = hb.length
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val x = ha(i); val y = hb(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        cnt += 1
+        while (i < na && ha(i) == x) i += 1
+        while (j < nb && hb(j) == x) j += 1
+      }
+    }
+    cnt.toDouble / (na.toDouble + nb.toDouble - cnt.toDouble)
+  }
+
+  /** Brute-force n-gram Jaccard pairs within a blocking key (e.g. lang).
+    * The blocking key bounds the quadratic term to the largest block;
+    * for unblocked corpora use [[minhashLshPairs]].
+    *
+    * Two physical plans produce the identical pair set:
+    *  - the default **prefix-filtered** path (AllPairs/PPJoin family):
+    *    candidate pairs come from an equi-join on each doc's
+    *    rarest-token prefix, so candidate volume is bounded by token
+    *    co-occurrence instead of block size² — the 100 TB path. The
+    *    prefix filter is EXACT (a theorem, not a sketch): order the
+    *    token universe by (document frequency, hash); if J(A,B) ≥ t,
+    *    the globally smallest common token provably sits within the
+    *    first |X| − ⌈t·|X|⌉ + 1 tokens of BOTH docs, so a pair sharing
+    *    no prefix token cannot qualify. Survivors are re-scored with
+    *    the same exact kernel, so the output is bit-identical to
+    *    all-pairs.
+    *  - `spark.sql spark.graft.jaccard.prefixFilter=false` restores the
+    *    tile-pair all-pairs scan (the oracle-shaped reference path).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int, threshold: Double, tiles: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    val usePrefix = df.sparkSession.conf
+      .getOption("spark.graft.jaccard.prefixFilter").forall(_.toBoolean)
+    if (usePrefix) ngramJaccardPairsPrefix(df, idCol, textCol, blockCol, n, threshold)
+    else ngramJaccardPairsTiled(df, idCol, textCol, blockCol, n, threshold, tiles)
+  }
+
+  /** Prefix-filtered exact set-similarity join (see [[ngramJaccardPairs]]).
+    * Stages, all keyed and shuffle-bounded by token volume (linear in
+    * corpus size), never by block²:
+    *  1. shingle-hash kernel per doc (no shuffle);
+    *  2. document frequency per (block, token) — orders the token
+    *     universe rarest-first so prefixes index into near-singleton
+    *     buckets (hash-value order alone would let one boilerplate
+    *     shingle with a random hash land in millions of prefixes);
+    *  3. per-doc prefix = the p rarest tokens, p = |X| − ⌈t·|X|⌉ + 1
+    *     over the doc's DISTINCT token set (the theorem's universe;
+    *     ⌈·⌉ is computed with a −1e-9 bias so fp rounding can only
+    *     LENGTHEN the prefix — a longer prefix is always recall-safe);
+    *  4. candidate pairs = equi-join on (block, token) with id_a <
+    *     id_b and the size band (J ≥ t ⇒ min·1 ≥ t·max — implied by
+    *     the threshold, so pruning with it cannot drop a qualifier);
+    *  5. exact confirm: join candidates back to the sorted hash
+    *     arrays and re-score with the same two-pointer kernel.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingleHashDocs(df, idCol, textCol, blockCol, n)
+    val shDf = sh.toDF("blk", "id", "h").persist()
+    val tok = shDf.select(col("blk"), col("id"), size(col("h")).as("len"),
+        size(array_distinct(col("h"))).as("dlen"),
+        explode(array_distinct(col("h"))).as("hv"))
+    val freq = tok.groupBy("blk", "hv").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk", "id").orderBy(col("f"), col("hv"))
+    val prefixLen = (col("dlen") -
+      ceil(lit(threshold) * col("dlen").cast(DoubleType) - lit(1e-9)) + lit(1))
+    val prefix = tok.join(freq, Seq("blk", "hv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select(col("blk"), col("hv"), col("id"), col("len"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.blk") === col("b.blk") && col("a.hv") === col("b.hv") &&
+          col("a.id") < col("b.id") &&
+          least(col("a.len"), col("b.len")).cast(DoubleType) >=
+            lit(threshold) * greatest(col("a.len"), col("b.len")).cast(DoubleType))
+      .select(col("a.blk").as("blk"), col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val thr = threshold
+    val joined = cand
+      .join(shDf.select(col("blk"), col("id").as("id_a"), col("h").as("ha")),
+        Seq("blk", "id_a"))
+      .join(shDf.select(col("blk"), col("id").as("id_b"), col("h").as("hb")),
+        Seq("blk", "id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+    val out = joined.mapPartitions { it =>
+        it.flatMap { case (ida, idb, ha, hb) =>
+          val jac = jaccardSorted(ha, hb)
+          if (jac >= thr) Some((ida, idb, jac)) else None
+        }
+      }.toDF("id_a", "id_b", "jac")
+    Materialize.spillRelease(out, shDf)
+  }
+
+  /** Tile-pair all-pairs scan within each block (see
+    * [[ngramJaccardPairs]] for when to prefer the prefix path).
+    */
+  def ngramJaccardPairsTiled(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int, threshold: Double, tiles: Int = 8): DataFrame = {
+    // Jaccard over 60-bit shingle hashes. The pair loop is a
+    // branch-light numeric kernel that a declarative join would
+    // evaluate interpreted (~6µs/pair) — so: shingle-hash each doc
+    // in a pre-shuffle JVM kernel, then shuffle on (block, tile-pair)
+    // and run the sorted-merge kernel per group in the executors.
+    // The tile-pair decomposition INSIDE each block matters at scale:
+    // blocking keys are skewed (an "en" block is most of a web corpus),
+    // so a plain per-block shuffle serializes the biggest block on one
+    // task — with tiles, per-task memory and work drop to 2/tiles of a
+    // block, and parallelism is |blocks|·tiles²/2 instead of |blocks|.
+    // Nothing is materialized on the driver.
+    // Exact prunes before touching arrays: the size band
+    // (J ≥ t ⇒ min/max ≥ t). Distinct-intersection over sorted arrays
+    // by two-pointer with duplicate skip — identical counts to
+    // array_intersect/list_intersect.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingleHashDocs(df, idCol, textCol, blockCol, n)
     val t = tiles
     sh.flatMap { case (blk, id, h) =>
         // floorMod: JVM % is negative for negative ids, which would
@@ -822,18 +942,7 @@ object Dedup {
             val (idb, hb) = right(k)
             val nb = hb.length
             if (math.min(na, nb).toDouble >= threshold * math.max(na, nb).toDouble) {
-              var i = 0; var j = 0; var cnt = 0
-              while (i < na && j < nb) {
-                val x = ha(i); val y = hb(j)
-                if (x < y) i += 1
-                else if (x > y) j += 1
-                else {
-                  cnt += 1
-                  while (i < na && ha(i) == x) i += 1
-                  while (j < nb && hb(j) == x) j += 1
-                }
-              }
-              val jac = cnt.toDouble / (na.toDouble + nb.toDouble - cnt.toDouble)
+              val jac = jaccardSorted(ha, hb)
               if (jac >= threshold)
                 out += (if (ida < idb) (ida, idb, jac) else (idb, ida, jac))
             }

@@ -238,6 +238,32 @@ class OperatorsSpec extends SparkSpec {
     assert(cp == Set((-9L, -2L)))
   }
 
+  test("prefix-filtered Jaccard join is bit-identical to the tiled all-pairs scan") {
+    // The prefix filter's recall theorem is exactness-critical: verify
+    // the two physical plans produce the SAME (id_a, id_b, jac) set on
+    // the real corpus at both a loose and a tight threshold, including
+    // a degenerate single-shingle doc and an exact-duplicate pair.
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(Seq(
+        (900001L, "tiny", "en"), (900002L, "tiny", "en"),
+        (900003L, "a b c d e f g h i j", "en"),
+        (900004L, "a b c d e f g h i x", "en")).toDF("doc_id", "text", "lang"))
+    for (t <- Seq(0.5, 0.8)) {
+      def pairs(prefix: Boolean) = {
+        spark.conf.set("spark.graft.jaccard.prefixFilter", prefix.toString)
+        try graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+            n = 3, threshold = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        finally spark.conf.unset("spark.graft.jaccard.prefixFilter")
+      }
+      val (p, a) = (pairs(prefix = true), pairs(prefix = false))
+      assert(p.nonEmpty, s"t=$t produced no pairs — test corpus lost its near-dups")
+      assert(p == a, s"t=$t: prefix ${p.size} pairs vs all-pairs ${a.size}")
+    }
+  }
+
   test("registerAll is order-independent: events view works without a pre-set nanos conf") {
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
