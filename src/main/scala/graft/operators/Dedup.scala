@@ -851,7 +851,7 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, materialize: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = shingleHashDocs(df, idCol, textCol, blockCol, n)
@@ -889,7 +889,9 @@ object Dedup {
           if (jac >= thr) Some((ida, idb, jac)) else None
         }
       }.toDF("id_a", "id_b", "jac")
-    Materialize.spillRelease(out, shDf)
+    // materialize=false exposes the live plan for PlanQualitySpec's
+    // no-all-pairs pin (spillRelease replaces it with a spill-file scan)
+    if (materialize) Materialize.spillRelease(out, shDf) else out
   }
 
   /** Tile-pair all-pairs scan within each block (see

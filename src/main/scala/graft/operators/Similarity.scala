@@ -46,6 +46,22 @@ object Similarity {
     * per query per scan partition BEFORE any shuffle — the window
     * formulation this replaces shuffled and sorted the full product.
     */
+  /** Smallest power-of-two m (≥ `min`) with m·m ≥ n. Taking every m-th
+    * vector as an IVF/k-means centroid gives ≈√n cells of ≈√n members —
+    * the balance point where neither the coarse probe (queries × cells)
+    * nor the per-cell scan grows linearly with the corpus. A
+    * corpus-FIXED modulus makes the centroid count linear in n and the
+    * probe stage O(n²): the round-8 sf10 decade run measured q77 at
+    * 131 s (2.3× over linear) under `% 50`; √n sizing restores the
+    * n^1.5 contract. Pure integer arithmetic so the DuckDB oracle's
+    * CASE ladder reproduces it bit-for-bit.
+    */
+  def sqrtModulus(n: Long, min: Long = 32L): Long = {
+    var m = min
+    while (m * m < n) m *= 2
+    m
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
     ensureFunctions(corpus)

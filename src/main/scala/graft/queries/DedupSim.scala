@@ -85,13 +85,15 @@ object DedupSim {
       .orderBy("qid", "rank")
   }
 
-  /** IVF: centroids = every 50th vector (deterministic "coarse
-    * quantizer"), queries probe their 2 nearest cells, top-3 within.
+  /** IVF: centroids = every m-th vector with m = √n-sized power of two
+    * ([[Similarity.sqrtModulus]] — ≈√n cells of ≈√n members, the IVF
+    * balance point), queries probe their 2 nearest cells, top-3 within.
     */
   private val q77SimilarityIvf: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
+    val m = Similarity.sqrtModulus(e.count())
     Similarity.ivfTopK(
-        e, e.filter(col("vec_id") % 25 === 0), e.filter(col("vec_id") % 50 === 0),
+        e, e.filter(col("vec_id") % 25 === 0), e.filter(col("vec_id") % m === 0),
         "vec_id", "embedding", k = 3, nprobe = 2)
       .select("qid", "rank", "nid", "cos")
       .orderBy("qid", "rank")
@@ -148,13 +150,15 @@ object DedupSim {
   }
 
   /** One k-means training iteration for the IVF coarse quantizer:
-    * centroids seeded from every 50th vector, corpus assigned by
-    * cosine argmax, new centroids = member means (exact-decimal sums).
+    * centroids seeded from every m-th vector (m = √n-sized power of
+    * two, [[Similarity.sqrtModulus]]), corpus assigned by cosine
+    * argmax, new centroids = member means (exact-decimal sums).
     * Output flattened to (cid, pos, n_members, coord) rows.
     */
   private val q100KmeansStep: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    Similarity.kmeansStep(e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding")
+    val m = Similarity.sqrtModulus(e.count())
+    Similarity.kmeansStep(e, e.filter(col("vec_id") % m === 0), "vec_id", "embedding")
       .orderBy("cid", "pos")
   }
 
@@ -204,14 +208,16 @@ object DedupSim {
   }
 
   /** SemDeDup-style semantic dedup: the perturbed near-dup corpus is
-    * bucketed into k-means cells (centroids = every 50th original
-    * vector), cosine pairs ≥ 0.99 discovered within cells only — the
+    * bucketed into k-means cells (centroids = every m-th original
+    * vector, m = √n-sized — [[Similarity.sqrtModulus]]), cosine pairs
+    * ≥ 0.99 discovered within cells only — the
     * cluster-then-compare shape that keeps embedding dedup sub-
     * quadratic. A perturbed copy lands in its original's cell (cos ≈
     * 0.998), so recall here matches the brute-force q74 pair set.
     */
   private val q112Semdedup: Q = (s, d) => {
-    val cent = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+    val m = Similarity.sqrtModulus(Tables.embeddings(s, d).count())
+    val cent = Tables.embeddings(s, d).filter(col("vec_id") % m === 0)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
     Similarity.semanticDedupPairs(nearDupVectors(s, d), cent, "vec_id", "e",
         threshold = 0.99)
@@ -234,11 +240,12 @@ object DedupSim {
     // build-once contract (buildIvfIndex doc): a completed write leaves
     // parquet's _SUCCESS marker — rebuild only when it's absent, so
     // the query (and the bench) times the pruned probe, not the build
+    val m = Similarity.sqrtModulus(e.count())
     if (!new java.io.File(dir, "_SUCCESS").isFile)
-      Similarity.buildIvfIndex(e, e.filter(col("vec_id") % 50 === 0),
+      Similarity.buildIvfIndex(e, e.filter(col("vec_id") % m === 0),
         "vec_id", "embedding", dir)
     Similarity.ivfTopKIndexed(s, dir, e.filter(col("vec_id") % 25 === 0),
-        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3, nprobe = 2)
+        e.filter(col("vec_id") % m === 0), "vec_id", "embedding", k = 3, nprobe = 2)
       .select("qid", "rank", "nid", "cos")
       .orderBy("qid", "rank")
   }
@@ -397,7 +404,13 @@ object DedupSim {
     "q100_kmeans_step" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |mm AS (SELECT CASE WHEN c <= 1024 THEN 32 WHEN c <= 4096 THEN 64
+        |    WHEN c <= 16384 THEN 128 WHEN c <= 65536 THEN 256
+        |    WHEN c <= 262144 THEN 512 WHEN c <= 1048576 THEN 1024
+        |    WHEN c <= 4194304 THEN 2048 WHEN c <= 16777216 THEN 4096
+        |    WHEN c <= 67108864 THEN 8192 ELSE 16384 END m
+        |  FROM (SELECT count(*) c FROM e)),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e, mm WHERE vec_id % m = 0),
         |assigned AS (SELECT vec_id AS nid, v AS e_n, cid FROM (
         |  SELECT e.vec_id, e.v, c.cid,
         |    row_number() OVER (PARTITION BY e.vec_id
@@ -455,7 +468,13 @@ object DedupSim {
          |FROM r WHERE n_docs >= 2 AND rn = 1 ORDER BY fp""".stripMargin,
     "q112_semdedup" ->
       s"""$vecCte,
-         |cent AS (SELECT vec_id AS cid, e AS cv FROM base WHERE vec_id % 50 = 0),
+         |mm AS (SELECT CASE WHEN c <= 1024 THEN 32 WHEN c <= 4096 THEN 64
+         |    WHEN c <= 16384 THEN 128 WHEN c <= 65536 THEN 256
+         |    WHEN c <= 262144 THEN 512 WHEN c <= 1048576 THEN 1024
+         |    WHEN c <= 4194304 THEN 2048 WHEN c <= 16777216 THEN 4096
+         |    WHEN c <= 67108864 THEN 8192 ELSE 16384 END m
+         |  FROM (SELECT count(*) c FROM base)),
+         |cent AS (SELECT vec_id AS cid, e AS cv FROM base, mm WHERE vec_id % m = 0),
          |assigned AS (SELECT vec_id AS nid, e, cid FROM (
          |  SELECT v.vec_id, v.e, c.cid,
          |    row_number() OVER (PARTITION BY v.vec_id
@@ -555,7 +574,13 @@ object DedupSim {
     "q173_ivf_indexed" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |mm AS (SELECT CASE WHEN c <= 1024 THEN 32 WHEN c <= 4096 THEN 64
+        |    WHEN c <= 16384 THEN 128 WHEN c <= 65536 THEN 256
+        |    WHEN c <= 262144 THEN 512 WHEN c <= 1048576 THEN 1024
+        |    WHEN c <= 4194304 THEN 2048 WHEN c <= 16777216 THEN 4096
+        |    WHEN c <= 67108864 THEN 8192 ELSE 16384 END m
+        |  FROM (SELECT count(*) c FROM e)),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e, mm WHERE vec_id % m = 0),
         |assigned AS (SELECT vec_id AS nid, v AS e_n, cid FROM (
         |  SELECT e.vec_id, e.v, c.cid,
         |    row_number() OVER (PARTITION BY e.vec_id
@@ -584,7 +609,13 @@ object DedupSim {
     "q77_similarity_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |mm AS (SELECT CASE WHEN c <= 1024 THEN 32 WHEN c <= 4096 THEN 64
+        |    WHEN c <= 16384 THEN 128 WHEN c <= 65536 THEN 256
+        |    WHEN c <= 262144 THEN 512 WHEN c <= 1048576 THEN 1024
+        |    WHEN c <= 4194304 THEN 2048 WHEN c <= 16777216 THEN 4096
+        |    WHEN c <= 67108864 THEN 8192 ELSE 16384 END m
+        |  FROM (SELECT count(*) c FROM e)),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e, mm WHERE vec_id % m = 0),
         |assigned AS (SELECT vec_id AS nid, v AS e_n, cid FROM (
         |  SELECT e.vec_id, e.v, c.cid,
         |    row_number() OVER (PARTITION BY e.vec_id

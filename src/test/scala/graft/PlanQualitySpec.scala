@@ -80,13 +80,30 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a dynamicpruning partition filter on the fact scan:\n$p")
   }
 
-  test("q73 ngram-jaccard: block-key shuffle in executors, no driver broadcast") {
-    val p = plan("q73_dedup_ngram_jaccard")
-    // the kernel must run per-block after a hash shuffle on blk —
-    // never via a driver collect()+broadcast of the hashed corpus
+  test("q73 ngram-jaccard (prefix path): token equi-join candidates, never all-pairs") {
+    // materialize=false exposes the live plan (the query's own plan is
+    // a scan of the spillRelease file)
+    val docs = Tables.documents(spark, sf)
+    val p = graft.operators.Dedup
+      .ngramJaccardPairsPrefix(docs, "doc_id", "text", "lang", 3, 0.8,
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    // candidates come from a hash equi-join on (block, prefix token),
+    // confirm by kernel — no nested-loop pair scan
     assert(p.contains("Exchange hashpartitioning"),
-      s"expected shuffle on the block key:\n$p")
-    assert(!p.contains("Broadcast"), s"no driver-side broadcast allowed:\n$p")
+      s"expected keyed shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the prefix equi-join:\n$p")
+  }
+
+  test("q73 ngram-jaccard (tiled path, conf off): block shuffle, no driver broadcast") {
+    spark.conf.set("spark.graft.jaccard.prefixFilter", "false")
+    try {
+      val p = plan("q73_dedup_ngram_jaccard")
+      assert(p.contains("Exchange hashpartitioning"),
+        s"expected shuffle on the block key:\n$p")
+      assert(!p.contains("Broadcast"), s"no driver-side broadcast allowed:\n$p")
+    } finally spark.conf.unset("spark.graft.jaccard.prefixFilter")
   }
 
   test("q74 cosine pairs: tile-pair shuffle in executors, no driver broadcast") {
@@ -660,5 +677,32 @@ class PlanQualitySpec extends SparkSpec {
     // bare (nat, kb) join — the bounded-block discipline itself
     assert(p.contains("ck#") || p.contains("ck "),
       s"chunk key missing from the plan:\n$p")
+  }
+
+  test("q331 propensity matching: running frames only — no unbounded-following rescan") {
+    val p = plan("q331_propensity_match")
+    // Spark's unbounded-FOLLOWING frame is O(n²) per partition (rescans
+    // to the end per row) — both lookups must be running frames
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"forward lookup must run over the reversed order:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed as-of must never go pairwise:\n$p")
+  }
+
+  test("q333 CKA / q335 effective rank: in-row Gram expansion, no coordinate self-join") {
+    for (q <- Seq("q333_cka_linear", "q335_effective_rank")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q: Gram cells must come from the in-row expansion, not a vec_id join:\n$p")
+      assert(p.contains("Generate"), s"$q: expected the posexplode expansion:\n$p")
+    }
+  }
+
+  test("q343 hubness: native top-k sample selection, pair work stays an equi join") {
+    val p = plan("q343_hubness_audit")
+    assert(p.contains("TopKPerGroup"),
+      s"the per-label sample filter must rewrite to the native top-k:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair scoring must stay the (label, dim) equi join:\n$p")
   }
 }
