@@ -454,10 +454,13 @@ class PlanQualitySpec extends SparkSpec {
   test("q173 indexed IVF: probe scan prunes unprobed cell partitions") {
     // the operator ends in spillRelease, so the pruned index scan runs
     // eagerly inside the call — capture executed plans during it
+    // the probe list renders as IN (...) below 10 cells and INSET
+    // above (spark.sql.optimizer.inSetConversionThreshold)
+    val re = "PartitionFilters: \\[cid#\\d+ (IN \\(|INSET )".r
     val all = executedPlansDuring {
       SparkEntry.queries("q173_ivf_indexed")(spark, sf).collect(): Unit
-    }(p => "PartitionFilters: \\[cid#\\d+ IN \\(".r.findFirstIn(p).isDefined)
-    assert("PartitionFilters: \\[cid#\\d+ IN \\(".r.findFirstIn(all).isDefined,
+    }(p => re.findFirstIn(p).isDefined)
+    assert(re.findFirstIn(all).isDefined,
       s"index scan must carry a cid IN partition filter:\n$all")
   }
 
