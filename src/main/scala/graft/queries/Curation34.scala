@@ -133,27 +133,34 @@ object Curation34 {
     * integer sums.
     */
   private val q343HubnessAudit: Q = (s, d) => {
+    graft.functions.GraftRegistry.register(s)
+    import graft.functions.GraftFunctions.{dotNative, normSqNative}
     val wsamp = Window.partitionBy("label")
       .orderBy(mdHash(col("vec_id")), col("vec_id"))
+    // pairwise cosine through the codegen'd native dot kernel (the q77
+    // shape; DuckDB list_dot_product is fold-order-compatible, proven
+    // by the IVF oracles) — the first cut exploded dims into a 6.4M-row
+    // decimal aggregate and measured 19 s at sf0.1; this one holds ~1 s
     val samp = Tables.embeddings(s, d)
       .withColumn("rn", row_number().over(wsamp))
       .filter(col("rn") <= 100)
       .select(col("label"), col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
-    val a = samp.select(col("label"), col("vec_id").as("ida"), col("i"), col("x").as("xa"))
-    val b = samp.select(col("label"), col("vec_id").as("idb"), col("i"), col("x").as("xb"))
-    val pairs = a.join(b, Seq("label", "i"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", normSqNative(col("v")))
+    val a = samp.select(col("label"), col("vec_id").as("ida"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = samp.select(col("label"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("label"))
       .filter(col("ida") =!= col("idb"))
-      .groupBy("label", "ida", "idb")
-      .agg(sum((col("xa") * col("xb")).cast(DecimalType(30, 12))).cast(DoubleType).as("dot"),
-        sum((col("xa") * col("xa")).cast(DecimalType(30, 12))).cast(DoubleType).as("sa"),
-        sum((col("xb") * col("xb")).cast(DecimalType(30, 12))).cast(DoubleType).as("sb"))
-      .withColumn("cos", col("dot") / (sqrt(col("sa")) * sqrt(col("sb"))))
+      .select(col("label"), col("ida"), col("idb"),
+        (dotNative(col("va"), col("vb")) /
+          (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
     val wnn = Window.partitionBy("label", "ida").orderBy(col("cos").desc, col("idb"))
     val nn = pairs.withColumn("r", row_number().over(wnn)).filter(col("r") <= 3)
     val ko = nn.groupBy(col("label"), col("idb").as("vec_id"))
       .agg(count(lit(1)).as("ko"))
-    val sampIds = samp.select("label", "vec_id").distinct()
+    val sampIds = samp.select("label", "vec_id")
     sampIds.join(ko, Seq("label", "vec_id"), "left")
       .withColumn("k", coalesce(col("ko"), lit(0L)))
       .groupBy("label")
@@ -238,19 +245,16 @@ object Curation34 {
          |  FROM (SELECT *, row_number() OVER (PARTITION BY label
          |      ORDER BY ${h.format("vec_id::VARCHAR")}, vec_id) rn
          |    FROM embeddings) WHERE rn <= 100),
-         |dims AS (SELECT label, vec_id, (i - 1)::INT i,
-         |    CAST(embedding[i] AS DOUBLE) x
-         |  FROM samp, range(1, 65) t(i)),
+         |vs AS (SELECT label, vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM samp),
          |pairs AS (SELECT a.label, a.vec_id ida, b.vec_id idb,
-         |    CAST(sum(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) dot,
-         |    CAST(sum(CAST(a.x * a.x AS DECIMAL(30,12))) AS DOUBLE) sa,
-         |    CAST(sum(CAST(b.x * b.x AS DECIMAL(30,12))) AS DOUBLE) sb
-         |  FROM dims a JOIN dims b ON a.label = b.label AND a.i = b.i
-         |    AND a.vec_id <> b.vec_id
-         |  GROUP BY a.label, a.vec_id, b.vec_id),
+         |    list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) *
+         |       sqrt(list_dot_product(b.v, b.v))) cos
+         |  FROM vs a JOIN vs b ON a.label = b.label AND a.vec_id <> b.vec_id),
          |nn AS (SELECT label, ida, idb FROM (SELECT *,
          |    row_number() OVER (PARTITION BY label, ida
-         |      ORDER BY dot / (sqrt(sa) * sqrt(sb)) DESC, idb) r
+         |      ORDER BY cos DESC, idb) r
          |  FROM pairs) WHERE r <= 3),
          |ko AS (SELECT label, idb vec_id, count(*) ko FROM nn GROUP BY label, idb),
          |j AS (SELECT s.label, s.vec_id, coalesce(ko.ko, 0) k
