@@ -560,4 +560,24 @@ class OperatorsSpec extends SparkSpec {
       assert(got == expected, s"parts=$parts: $got vs $expected")
     }
   }
+
+  test("sqrtModulus matches the oracle CASE ladder on every rung and boundary") {
+    import graft.operators.Similarity.sqrtModulus
+    // the DuckDB oracles replicate the modulus as a CASE ladder —
+    // both must agree at every boundary or an SF exists where the
+    // engine and oracle pick different centroids
+    val ladder = Seq(1024L -> 32L, 4096L -> 64L, 16384L -> 128L,
+      65536L -> 256L, 262144L -> 512L, 1048576L -> 1024L,
+      4194304L -> 2048L, 16777216L -> 4096L, 67108864L -> 8192L)
+    def oracle(c: Long): Long =
+      ladder.find(c <= _._1).map(_._2).getOrElse(16384L)
+    val probes = Seq(1L, 2L, 500L, 1023L, 1024L, 1025L) ++
+      ladder.flatMap { case (t, _) => Seq(t - 1, t, t + 1) } ++
+      Seq(100000000L)
+    probes.foreach { n =>
+      assert(sqrtModulus(n) === oracle(n), s"n=$n")
+      assert(sqrtModulus(n) * sqrtModulus(n) >= n || sqrtModulus(n) == 16384L,
+        s"m^2 >= n violated at n=$n")
+    }
+  }
 }
