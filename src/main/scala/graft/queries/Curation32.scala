@@ -210,13 +210,12 @@ object Curation32 {
     // to 768 rows per partition — no vec_id self-join ever shuffles the
     // exploded coordinates (the join formulation measured 3.1 s at sf1;
     // this one ~1 s)
-    def meansOf(c: org.apache.spark.sql.Column): Array[Double] =
-      withY.select(posexplode(c).as(Seq("i", "x")))
-        .groupBy("i").agg((sum(col("x").cast(DecimalType(30, 12)))
-          .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("m"))
-        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
-    val mx = array(meansOf(col("v")).map(lit): _*)
-    val my = array(meansOf(col("yv")).map(lit): _*)
+    val ms = withY.select(posexplode(concat(col("v"), col("yv"))).as(Seq("i", "x")))
+      .groupBy("i").agg((sum(col("x").cast(DecimalType(30, 12)))
+        .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    val mx = array(ms.take(dims).map(lit): _*)
+    val my = array(ms.drop(dims).map(lit): _*)
     val cells = withY
       .withColumn("xc", zip_with(col("v"), mx, (x, m) => x - m))
       .withColumn("yc", zip_with(col("yv"), my, (y, m) => y - m))
