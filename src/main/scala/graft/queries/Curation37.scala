@@ -21,14 +21,15 @@ object Curation37 {
     * baskets (basket size is bounded by order shape, so the expansion
     * is linear in lineitem), never a lineitem self-join shuffle.
     */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String,
+      includeSelf: Boolean = false): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy("o").agg(collect_set(col("p")).as("ps"))
       .select(explode(col("ps")).as("u"), col("ps"))
       .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    (if (includeSelf) pairs else pairs.filter(col("u") =!= col("v"))).distinct()
+  }
 
   /** q347: community detection by synchronous min-label propagation —
     * three rounds of label(v) ← min(label(v), min over neighbors) on
@@ -36,22 +37,24 @@ object Curation37 {
     * connected-components / community engines (Raghavan et al. 2007).
     * Scale shape, per round: ONE equi-join of the edge list against
     * the label frame on the source id plus one keyed min — identical
-    * to the q267 BFS frontier shape; rounds are a fixed constant, each
-    * round's frame is persisted and the superseded one released, and
-    * the bounded community-size readout spills through
+    * to the q267 BFS frontier shape. The self-merge least(own,
+    * neighbor-min) rides the SAME aggregate via self-loop edges
+    * (min over neighbors ∪ self), so a round is join + groupBy and
+    * nothing else; the edge list is persisted pre-partitioned on the
+    * join key so no round re-shuffles it. Rounds are a fixed constant
+    * and the bounded community-size readout spills through
     * [[Materialize.spillRelease]] so nothing leaks into the block
     * manager. Min-label ties are impossible (labels are node ids), so
     * the fixpoint trajectory is engine-exact.
     */
   private val q347LabelPropagation: Q = (s, d) => {
-    val edges = copurchaseEdges(s, d).persist()
-    val l0 = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")).persist()
+    val edges = copurchaseEdges(s, d, includeSelf = true)
+      .repartition(col("u")).persist()
+    val l0 = edges.filter(col("u") === col("v"))
+      .select(col("u").as("node"), col("u").as("lbl")).persist()
     val rounds = (1 to 3).scanLeft(l0) { (lbl, _) =>
-      val nbrMin = edges.join(lbl, edges("u") === lbl("node"))
-        .groupBy(edges("v").as("nd")).agg(min(col("lbl")).as("nm"))
-      lbl.join(nbrMin, lbl("node") === nbrMin("nd"), "left")
-        .select(lbl("node"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+      edges.join(lbl, edges("u") === lbl("node"))
+        .groupBy(edges("v").as("node")).agg(min(col("lbl")).as("lbl"))
         .persist()
     }
     val sizes = rounds.last.groupBy("lbl").agg(count(lit(1)).as("c"))
