@@ -708,4 +708,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair scoring must stay the (label, dim) equi join:\n$p")
   }
+
+  test("q347 label propagation: rounds are keyed equi joins on the edge list") {
+    val p = plan("q347_label_propagation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"each round must join edges to labels on the source id:\n$p")
+  }
+
+  test("q356 KNN-Shapley: bounded test cross is broadcast, recurrence is a tid-keyed window") {
+    val p = plan("q356_knn_shapley")
+    assert(!p.contains("CartesianProduct"),
+      s"the 32-test cross must broadcast, never a shuffled product:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Window") || l.contains("window")),
+      s"the tail recurrence must be a window, not a self-join:\n$p")
+  }
+
+  test("q363/q368 recommender: candidate generation stays hash equi-joins, never all-pairs") {
+    for (q <- Seq("q363_rec_coverage", "q368_rec_holdout_eval")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: item-item scoring must ride the basket expansion + equi joins:\n$p")
+    }
+  }
 }
