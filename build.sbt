@@ -1,4 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
+// Keep sbt's "[success] Total time" line off stdout: the driver parses
+// the LAST stdout line of `runMain graft.Bench` as the bench JSON, and
+// the success banner after it has made every round's artifact
+// unparseable (BENCH_r01–r08 all carry parsed: null).
+Global / showSuccess := false
 ThisBuild / version := "0.1.0"
 name := "axolotlsspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

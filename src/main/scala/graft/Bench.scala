@@ -15,12 +15,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors()))
-    // Shuffle width must scale with DATA, not cores: at sf10 a 1.2B-row
-    // aggregate through 32 partitions builds ~37M-entry hash maps per
-    // task and OOMs a 48g heap, while 256 partitions stream it in
-    // bounded memory — the local analog of sizing
-    // spark.sql.shuffle.partitions to the cluster's data volume.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Shuffle width scaled to DATA volume, not cores (see graft.Tuning:
+    // identical to `cpus` for every SF up to sf1; 256 at sf10, which
+    // the round-8 decade run needed hand-set env for).
+    val shuffle = Tuning.shuffleConf(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -137,8 +135,11 @@ object Bench {
     val hostName = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "unknown" }
     val hostPart =
       f""","host":{"name":"$hostName","cpus":${Runtime.getRuntime.availableProcessors()},"factor_vs_best":$hostFactor%.3f}"""
+    // "see" sits at the END of the line: the driver's artifact keeps
+    // only a ~2000-char stdout TAIL, so a head-truncated capture still
+    // shows the pointer to the full per-query artifact.
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(qs)}$isoPart$hostPart,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(qs)}$isoPart$hostPart,"sf":"$sf","see":"BENCH_full.json"}"""
     println(line)
     // Self-contained artifact: the driver's stdout capture is a
     // truncated tail at this query count (BENCH_r06 kept only the last

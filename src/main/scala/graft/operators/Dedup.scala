@@ -817,16 +817,30 @@ object Dedup {
     *    no prefix token cannot qualify. Survivors are re-scored with
     *    the same exact kernel, so the output is bit-identical to
     *    all-pairs.
-    *  - `spark.sql spark.graft.jaccard.prefixFilter=false` restores the
+    *  - `spark.graft.jaccard.prefixFilter=false` restores the
     *    tile-pair all-pairs scan (the oracle-shaped reference path).
+    *  - unset (or `auto`): pick by corpus size. The prefix path pays a
+    *    ~1.6 s constant (three extra linear token-keyed stages:
+    *    document frequencies, prefix ranking, candidate distinct) that
+    *    a tiny corpus never earns back — measured at sf0.1 (5k docs)
+    *    tiled wins by that constant, while at sf1 (50k docs) prefix is
+    *    already 2-3x ahead and the gap widens every decade (SCALE.md).
+    *    The crossover sits between those corpus sizes; both paths
+    *    return bit-identical pairs (OperatorsSpec hash-equality law),
+    *    so the switch can never change results, only the plan.
     */
+  val PrefixCrossoverDocs = 16384L
+
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int, threshold: Double, tiles: Int = 8): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(tiles >= 1, s"tiles must be >= 1, got $tiles")
     val usePrefix = df.sparkSession.conf
-      .getOption("spark.graft.jaccard.prefixFilter").forall(_.toBoolean)
+      .getOption("spark.graft.jaccard.prefixFilter").getOrElse("auto") match {
+      case "auto" => df.count() >= PrefixCrossoverDocs
+      case other => other.toBoolean
+    }
     if (usePrefix) ngramJaccardPairsPrefix(df, idCol, textCol, blockCol, n, threshold)
     else ngramJaccardPairsTiled(df, idCol, textCol, blockCol, n, threshold, tiles)
   }
@@ -855,7 +869,11 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = shingleHashDocs(df, idCol, textCol, blockCol, n)
-    val shDf = sh.toDF("blk", "id", "h").persist()
+    // persist only on the materialized path: spillRelease unpersists it
+    // there; the materialize=false (plan-inspection) path returns a live
+    // plan and a persist here would leak the cached frame (r8 advice)
+    val shDf0 = sh.toDF("blk", "id", "h")
+    val shDf = if (materialize) shDf0.persist() else shDf0
     val tok = shDf.select(col("blk"), col("id"), size(col("h")).as("len"),
         size(array_distinct(col("h"))).as("dlen"),
         explode(array_distinct(col("h"))).as("hv"))

@@ -55,11 +55,51 @@ object Similarity {
     * 131 s (2.3× over linear) under `% 50`; √n sizing restores the
     * n^1.5 contract. Pure integer arithmetic so the DuckDB oracle's
     * CASE ladder reproduces it bit-for-bit.
+    *
+    * Doubling stops at `cap` (default 65536 — balanced to ~4.3e9
+    * rows): the oracle mirror is a FINITE CASE ladder, so an unbounded
+    * engine-side loop would disagree with the ladder's ELSE rung
+    * beyond its last threshold (round-8 advice: the old unbounded loop
+    * vs a 16384-ELSE ladder diverged above 268M rows). Engine cap and
+    * ladder ELSE now come from the same constant, and
+    * [[sqrtModulusLadderSql]] / [[sqrtModulusLadderCol]] GENERATE the
+    * mirrors from the same (min, cap) so the three can't drift.
+    * Past the cap, cells grow beyond √n — the documented contract is
+    * to shard the corpus (date/tenant partition) before a single IVF
+    * layer sees >4e9 vectors.
     */
-  def sqrtModulus(n: Long, min: Long = 32L): Long = {
+  val SqrtModulusCap = 65536L
+
+  def sqrtModulus(n: Long, min: Long = 32L, cap: Long = SqrtModulusCap): Long = {
     var m = min
-    while (m * m < n) m *= 2
+    while (m * m < n && m < cap) m *= 2
     m
+  }
+
+  /** The rung thresholds of the ladder from `min` up to (excluding)
+    * `cap`: modulus m applies while n ≤ m². */
+  private def ladderRungs(min: Long, cap: Long): Seq[Long] =
+    Iterator.iterate(min)(_ * 2).takeWhile(_ < cap).toSeq
+
+  /** DuckDB CASE-ladder text for [[sqrtModulus]] over a count
+    * expression — generated from the same (min, cap), so the oracle
+    * agrees with the engine at every rung INCLUDING the ELSE. */
+  def sqrtModulusLadderSql(countExpr: String, min: Long = 32L,
+      cap: Long = SqrtModulusCap): String = {
+    val whens = ladderRungs(min, cap)
+      .map(m => s"WHEN $countExpr <= ${m * m} THEN $m").mkString(" ")
+    s"CASE $whens ELSE $cap END"
+  }
+
+  /** Catalyst column form of the same ladder (for fully-declarative
+    * plans that derive the modulus from a 1-row count frame instead of
+    * a driver-side count). */
+  def sqrtModulusLadderCol(c: org.apache.spark.sql.Column, min: Long = 32L,
+      cap: Long = SqrtModulusCap): org.apache.spark.sql.Column = {
+    val rungs = ladderRungs(min, cap)
+    rungs.tail.foldLeft(when(c <= rungs.head * rungs.head, rungs.head)) {
+      (acc, m) => acc.when(c <= m * m, m)
+    }.otherwise(cap)
   }
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,

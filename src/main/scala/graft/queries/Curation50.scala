@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Q
+import graft.functions.GraftFunctions.{dotNative, normSqNative}
+import graft.sources.Tables
+
+/** Round-9 wave 20: streaming STATE LIFECYCLE across a real
+  * stop-and-restart (the failure mode operators actually hit — r8
+  * verdict item 6), plus corpus-planning analytics: Chao1 vocabulary
+  * richness, int8 embedding-quantization audit, and temperature-based
+  * multilingual mixture epochs.
+  */
+object Curation50 {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 15))
+
+  /** Write `df` as one parquet file named `name` into `inDir` (the
+    * streaming-source batch-file convention of [[Curation31]]): older
+    * mtime AND lexically first = processed first.
+    */
+  private def addBatchFile(df: DataFrame, root: String, name: String,
+      ageMinutes: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val inDir = s"$root/input"
+    new java.io.File(inDir).mkdirs()
+    val tmp = s"$root/tmp-$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    Files.move(part.toPath, Paths.get(s"$inDir/$name"))
+    new java.io.File(s"$inDir/$name").setLastModified(
+      System.currentTimeMillis() - 60000L * ageMinutes)
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) against a
+    * FIXED checkpoint dir, sinking every micro-batch's rows to a
+    * parquet append dir via foreachBatch — the only sink shape that is
+    * both update-mode-capable and CHECKPOINT-RECOVERABLE (the memory
+    * sink refuses to restore non-complete-mode checkpoints, which is
+    * why q328 could not exercise restarts). Calling this twice with
+    * the same ckpt IS a real stop-and-restart: run 2 must restore
+    * source offsets, state-store contents, and the committed watermark
+    * from disk.
+    */
+  private def runRestartable(agg: DataFrame, ckpt: String, outDir: String,
+      mode: String): Unit = {
+    val q = agg.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** q411: watermark survives a REAL query restart. Run 1 streams only
+    * the newest 24 h (contains the global max ts, committing watermark
+    * max − 72 h to the checkpoint's commit log) and STOPS. Everything
+    * older then arrives, and run 2 — same plan, same checkpoint —
+    * restores the watermark and must DROP every row whose 1-hour
+    * window ends at or before max − 72 h. The oracle keeps exactly the
+    * windows ending after max − 72 h (q328's batch twin): a hash match
+    * is only possible if the watermark was restored from disk — a
+    * query that silently restarted fresh would accept all ~3385 keys
+    * instead of ~340. Counts are monotone per key across update-mode
+    * emissions, so max(n) per key is the final state.
+    */
+  private val q411RestartWatermark: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    // bounded driver scalar (one row): the exact global max event time
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val root = graft.operators.Materialize.jvmScratch(
+      "restartwm-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val (ckpt, outDir) = (s"$root/ckpt", s"$root/out")
+    val b1 = col("ts") > lit(mx) - expr("INTERVAL 24 HOURS")
+    def agg = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/input")
+      .withWatermark("ts", "72 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    addBatchFile(ev.filter(b1), root, "01_batch.parquet", 2)
+    runRestartable(agg, ckpt, outDir, "update") // run 1: commits wm = mx − 72 h
+    addBatchFile(ev.filter(!b1), root, "02_batch.parquet", 1)
+    runRestartable(agg, ckpt, outDir, "update") // restart: old rows are now late
+    s.read.parquet(outDir)
+      .groupBy("w_start", "event_type").agg(max(col("n")).as("n"))
+      .orderBy("w_start", "event_type")
+  }
+
+  /** q412: dedup STATE survives a restart. Run 1 streams the newest
+    * 24 h through `dropDuplicatesWithinWatermark(event_id)` and stops;
+    * run 2 (same checkpoint) streams the FULL table — every run-1 row
+    * again plus everything older. With the state store restored, the
+    * repeats are suppressed and each event id is emitted exactly once
+    * across both runs; a fresh-state restart would re-emit the newest
+    * 24 h and inflate the counts. The 365-day horizon keeps every row
+    * inside the watermark (30-day corpus), isolating state restoration
+    * from late-drop semantics (q411 tests those). Oracle = batch
+    * distinct counts per type.
+    */
+  private val q412RestartDedup: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("event_type"))
+    val mx = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    val root = graft.operators.Materialize.jvmScratch(
+      "restartdd-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val (ckpt, outDir) = (s"$root/ckpt", s"$root/out")
+    def dd = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/input")
+      .withWatermark("ts", "365 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"))
+    addBatchFile(ev.filter(col("ts") > lit(mx) - expr("INTERVAL 24 HOURS")),
+      root, "01_batch.parquet", 2)
+    runRestartable(dd, ckpt, outDir, "append") // run 1: state = newest 24 h ids
+    addBatchFile(ev, root, "02_batch.parquet", 1)
+    runRestartable(dd, ckpt, outDir, "append") // restart: repeats must be suppressed
+    s.read.parquet(outDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct"))
+      .orderBy("event_type")
+  }
+
+  /** q413: Chao1 vocabulary-richness estimate — how many distinct
+    * tokens does the corpus's vocabulary REALLY have, given what one
+    * pass observed? The counts-of-counts reduction (f1 = hapaxes,
+    * f2 = dis legomena) is two keyed aggregations that map-side
+    * combine; the estimator is the bias-corrected Chao1
+    * D + f1(f1−1)/(2(f2+1)) plus Good-Turing coverage 1 − f1/N — the
+    * numbers that decide whether scraping more of the same source can
+    * still grow the vocabulary. Integer until the final division.
+    */
+  private val q413Chao1Vocab: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    counts.agg(count(lit(1)).as("d"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("d"), col("f1"), col("f2"),
+        round(col("d").cast(DoubleType) +
+          col("f1").cast(DoubleType) * (col("f1").cast(DoubleType) - 1.0) /
+            (lit(2.0) * (col("f2").cast(DoubleType) + 1.0)), 6).as("chao1"),
+        round(lit(1.0) - col("f1").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("gt_coverage"))
+  }
+
+  /** q414: int8 symmetric-quantization audit for the embedding store —
+    * the 4x-compression decision needs the reconstruction error and
+    * the cosine degradation, not a guess. Per vector: scale =
+    * max|x|/127, q = round(x/scale), deq = q·scale; the MSE uses the
+    * dot-product identity |v−deq|² = |v|² − 2v·deq + |deq|² so both
+    * engines run the SAME three codegen'd dot products
+    * ([[graft.functions.GraftFunctions.dotNative]] ↔ DuckDB
+    * list_dot_product, the q77-proven bit-parity pair). One linear
+    * pass, decimal-summed aggregates.
+    */
+  private val q414Int8QuantAudit: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    graft.functions.GraftRegistry.register(s)
+    val scaled = e.select(col("vec_id"), col("v"),
+        (aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+          .as("sc"))
+      .filter(col("sc") > 0)
+    val deq = scaled.select(col("vec_id"), col("v"),
+      transform(col("v"), x => round(x / col("sc"), 0) * col("sc")).as("dq"))
+    val per = deq.select(col("vec_id"),
+      (normSqNative(col("v")) - lit(2.0) * dotNative(col("v"), col("dq")) +
+        normSqNative(col("dq"))).as("se"),
+      (dotNative(col("v"), col("dq")) /
+        sqrt(normSqNative(col("v")) * normSqNative(col("dq")))).as("cos"))
+    per.agg(count(lit(1)).as("n_vecs"),
+      round((sum(dec(col("se"))).cast(DoubleType) /
+        (count(lit(1)).cast(DoubleType) * 64.0)) * 1e6, 6).as("mse_x1e6"),
+      round(sum(dec(col("cos"))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 6).as("mean_cos"),
+      round(min(col("cos")), 6).as("worst_cos"))
+  }
+
+  /** q415: temperature-based multilingual mixture epochs — the data-
+    * budget plan for a training run: per-language token counts, τ=2
+    * temperature weights w ∝ t^(1/2) (the standard low-resource
+    * upsampling), and the per-language epoch factor B·w/t for a budget
+    * of 2× the corpus, flagging languages that would repeat more than
+    * 4 epochs (the data-constrained-LM over-repetition bound). One
+    * keyed aggregate + a 1-row broadcast total.
+    */
+  private val q415MixtureEpochs: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tk"))
+      .groupBy("lang").agg(sum(col("tk")).as("tokens"))
+    val tot = t.agg(sum(col("tokens")).as("total"),
+      sum(dec(sqrt(col("tokens").cast(DoubleType)))).cast(DoubleType).as("sw"))
+    t.crossJoin(broadcast(tot))
+      .select(col("lang"), col("tokens"),
+        (sqrt(col("tokens").cast(DoubleType)) / col("sw")).as("w"),
+        col("total"))
+      .select(col("lang"), col("tokens"), round(col("w"), 6).as("weight"),
+        round(lit(2.0) * col("total").cast(DoubleType) * col("w") /
+          col("tokens").cast(DoubleType), 6).as("epochs"),
+        (lit(2.0) * col("total").cast(DoubleType) * col("w") /
+          col("tokens").cast(DoubleType) > 4.0).as("over_repeated"))
+      .orderBy("lang")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q411_restart_watermark" -> q411RestartWatermark,
+    "q412_restart_dedup" -> q412RestartDedup,
+    "q413_chao1_vocab" -> q413Chao1Vocab,
+    "q414_int8_quant_audit" -> q414Int8QuantAudit,
+    "q415_mixture_epochs" -> q415MixtureEpochs)
+
+  val oracles: Map[String, String] = Map(
+    // identical acceptance rule to q328: a window survives iff it ends
+    // after the restored watermark max − 72 h
+    "q411_restart_watermark" ->
+      """WITH mx AS (SELECT max(ts) m FROM events)
+        |SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*)::BIGINT AS n
+        |FROM events, mx
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > m - INTERVAL 72 HOUR
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    // every event id emitted exactly once across both runs — the batch
+    // distinct twin; n_events = n_distinct is the no-reemission claim
+    "q412_restart_dedup" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        |  count(DISTINCT event_id)::BIGINT AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q413_chao1_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+        |counts AS (SELECT w, count(*) c FROM tok WHERE w <> '' GROUP BY w),
+        |cc AS (SELECT count(*) d, sum(c) n_tokens,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) f1,
+        |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) f2
+        |  FROM counts)
+        |SELECT n_tokens::BIGINT AS n_tokens, d::BIGINT AS d,
+        |  f1::BIGINT AS f1, f2::BIGINT AS f2,
+        |  round(d::DOUBLE + f1::DOUBLE * (f1::DOUBLE - 1.0) /
+        |    (2.0 * (f2::DOUBLE + 1.0)), 6) AS chao1,
+        |  round(1.0 - f1::DOUBLE / n_tokens::DOUBLE, 6) AS gt_coverage
+        |FROM cc""".stripMargin,
+    "q414_int8_quant_audit" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 s
+        |  FROM e),
+        |dq AS (SELECT vec_id, v,
+        |    list_transform(v, x -> round(x / s) * s) d
+        |  FROM sc WHERE s > 0),
+        |per AS (SELECT vec_id,
+        |    list_dot_product(v, v) - 2.0 * list_dot_product(v, d)
+        |      + list_dot_product(d, d) se,
+        |    list_dot_product(v, d) /
+        |      sqrt(list_dot_product(v, v) * list_dot_product(d, d)) cos
+        |  FROM dq)
+        |SELECT count(*)::BIGINT AS n_vecs,
+        |  round(CAST(sum(CAST(se AS DECIMAL(38,15))) AS DOUBLE) /
+        |    (count(*)::DOUBLE * 64.0) * 1e6, 6) AS mse_x1e6,
+        |  round(CAST(sum(CAST(cos AS DECIMAL(38,15))) AS DOUBLE) /
+        |    count(*)::DOUBLE, 6) AS mean_cos,
+        |  round(min(cos), 6) AS worst_cos
+        |FROM per""".stripMargin,
+    "q415_mixture_epochs" ->
+      """WITH t AS (SELECT lang,
+        |    sum(len(string_split(text, ' '))::BIGINT) tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(tokens) total,
+        |    CAST(sum(CAST(sqrt(tokens::DOUBLE) AS DECIMAL(38,15))) AS DOUBLE) sw
+        |  FROM t)
+        |SELECT lang, tokens::BIGINT AS tokens,
+        |  round(sqrt(tokens::DOUBLE) / sw, 6) AS weight,
+        |  round(2.0 * total::DOUBLE * (sqrt(tokens::DOUBLE) / sw) /
+        |    tokens::DOUBLE, 6) AS epochs,
+        |  2.0 * total::DOUBLE * (sqrt(tokens::DOUBLE) / sw) /
+        |    tokens::DOUBLE > 4.0 AS over_repeated
+        |FROM t CROSS JOIN tot ORDER BY lang""".stripMargin)
+}

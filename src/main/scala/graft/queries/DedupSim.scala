@@ -402,13 +402,9 @@ object DedupSim {
         |    AS dup_frac
         |FROM g JOIN ph USING (h) GROUP BY doc_id ORDER BY id""".stripMargin,
     "q100_kmeans_step" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),
-        |mm AS (SELECT CASE WHEN c <= 1024 THEN 32 WHEN c <= 4096 THEN 64
-        |    WHEN c <= 16384 THEN 128 WHEN c <= 65536 THEN 256
-        |    WHEN c <= 262144 THEN 512 WHEN c <= 1048576 THEN 1024
-        |    WHEN c <= 4194304 THEN 2048 WHEN c <= 16777216 THEN 4096
-        |    WHEN c <= 67108864 THEN 8192 ELSE 16384 END m
+        |mm AS (SELECT ${Similarity.sqrtModulusLadderSql("c")} m
         |  FROM (SELECT count(*) c FROM e)),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e, mm WHERE vec_id % m = 0),
         |assigned AS (SELECT vec_id AS nid, v AS e_n, cid FROM (
@@ -468,11 +464,7 @@ object DedupSim {
          |FROM r WHERE n_docs >= 2 AND rn = 1 ORDER BY fp""".stripMargin,
     "q112_semdedup" ->
       s"""$vecCte,
-         |mm AS (SELECT CASE WHEN c <= 1024 THEN 32 WHEN c <= 4096 THEN 64
-         |    WHEN c <= 16384 THEN 128 WHEN c <= 65536 THEN 256
-         |    WHEN c <= 262144 THEN 512 WHEN c <= 1048576 THEN 1024
-         |    WHEN c <= 4194304 THEN 2048 WHEN c <= 16777216 THEN 4096
-         |    WHEN c <= 67108864 THEN 8192 ELSE 16384 END m
+         |mm AS (SELECT ${Similarity.sqrtModulusLadderSql("c")} m
          |  FROM (SELECT count(*) c FROM base)),
          |cent AS (SELECT vec_id AS cid, e AS cv FROM base, mm WHERE vec_id % m = 0),
          |assigned AS (SELECT vec_id AS nid, e, cid FROM (
@@ -572,13 +564,9 @@ object DedupSim {
         |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
     "q173_ivf_indexed" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),
-        |mm AS (SELECT CASE WHEN c <= 1024 THEN 32 WHEN c <= 4096 THEN 64
-        |    WHEN c <= 16384 THEN 128 WHEN c <= 65536 THEN 256
-        |    WHEN c <= 262144 THEN 512 WHEN c <= 1048576 THEN 1024
-        |    WHEN c <= 4194304 THEN 2048 WHEN c <= 16777216 THEN 4096
-        |    WHEN c <= 67108864 THEN 8192 ELSE 16384 END m
+        |mm AS (SELECT ${Similarity.sqrtModulusLadderSql("c")} m
         |  FROM (SELECT count(*) c FROM e)),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e, mm WHERE vec_id % m = 0),
         |assigned AS (SELECT vec_id AS nid, v AS e_n, cid FROM (
@@ -607,13 +595,9 @@ object DedupSim {
         |SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 3
         |ORDER BY qid, rank""".stripMargin,
     "q77_similarity_ivf" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),
-        |mm AS (SELECT CASE WHEN c <= 1024 THEN 32 WHEN c <= 4096 THEN 64
-        |    WHEN c <= 16384 THEN 128 WHEN c <= 65536 THEN 256
-        |    WHEN c <= 262144 THEN 512 WHEN c <= 1048576 THEN 1024
-        |    WHEN c <= 4194304 THEN 2048 WHEN c <= 16777216 THEN 4096
-        |    WHEN c <= 67108864 THEN 8192 ELSE 16384 END m
+        |mm AS (SELECT ${Similarity.sqrtModulusLadderSql("c")} m
         |  FROM (SELECT count(*) c FROM e)),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e, mm WHERE vec_id % m = 0),
         |assigned AS (SELECT vec_id AS nid, v AS e_n, cid FROM (

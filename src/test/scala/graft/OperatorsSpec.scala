@@ -251,17 +251,45 @@ class OperatorsSpec extends SparkSpec {
         (900003L, "a b c d e f g h i j", "en"),
         (900004L, "a b c d e f g h i x", "en")).toDF("doc_id", "text", "lang"))
     for (t <- Seq(0.5, 0.8)) {
-      def pairs(prefix: Boolean) = {
-        spark.conf.set("spark.graft.jaccard.prefixFilter", prefix.toString)
+      def pairs(mode: String) = {
+        spark.conf.set("spark.graft.jaccard.prefixFilter", mode)
         try graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
             n = 3, threshold = t)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         finally spark.conf.unset("spark.graft.jaccard.prefixFilter")
       }
-      val (p, a) = (pairs(prefix = true), pairs(prefix = false))
+      // auto picks a path by corpus size (crossover heuristic) — all
+      // three modes must return the identical pair set, so the
+      // heuristic can only ever change the plan, never the answer
+      val (p, a, auto) = (pairs("true"), pairs("false"), pairs("auto"))
       assert(p.nonEmpty, s"t=$t produced no pairs — test corpus lost its near-dups")
       assert(p == a, s"t=$t: prefix ${p.size} pairs vs all-pairs ${a.size}")
+      assert(p == auto, s"t=$t: auto path diverged from prefix")
     }
+  }
+
+  test("jaccard auto mode crossover: tiled below the doc threshold, prefix above") {
+    // the conf-documented heuristic (Dedup.PrefixCrossoverDocs): a
+    // corpus under the crossover must NOT pay the prefix path's linear
+    // constant. Pin by plan shape: the prefix path distinct()s
+    // candidates (an extra aggregate over (id_a, id_b)), the tiled
+    // path never does — detect via the physical plan of the live frame.
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c d e", "en"), (2L, "a b c d x", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(2L < graft.operators.Dedup.PrefixCrossoverDocs)
+    // plan markers: the tiled path is a live MapPartitions kernel; the
+    // prefix path (materialize=true) returns a scan of its spill file
+    def planOf(mode: Option[String]) = {
+      mode.foreach(m => spark.conf.set("spark.graft.jaccard.prefixFilter", m))
+      try graft.operators.Dedup.ngramJaccardPairs(tiny, "doc_id", "text", "lang",
+          n = 1, threshold = 0.5).queryExecution.analyzed.toString
+      finally if (mode.isDefined) spark.conf.unset("spark.graft.jaccard.prefixFilter")
+    }
+    assert(planOf(None).contains("MapPartitions"),
+      "auto under the crossover must take the tiled (live kernel) plan")
+    assert(!planOf(Some("true")).contains("MapPartitions"),
+      "prefix path must not be the tiled kernel (it materializes to a spill scan)")
   }
 
   test("registerAll is order-independent: events view works without a pre-set nanos conf") {
@@ -562,22 +590,64 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("sqrtModulus matches the oracle CASE ladder on every rung and boundary") {
-    import graft.operators.Similarity.sqrtModulus
-    // the DuckDB oracles replicate the modulus as a CASE ladder —
-    // both must agree at every boundary or an SF exists where the
-    // engine and oracle pick different centroids
-    val ladder = Seq(1024L -> 32L, 4096L -> 64L, 16384L -> 128L,
-      65536L -> 256L, 262144L -> 512L, 1048576L -> 1024L,
-      4194304L -> 2048L, 16777216L -> 4096L, 67108864L -> 8192L)
+    import graft.operators.Similarity.{sqrtModulus, sqrtModulusLadderSql, SqrtModulusCap}
+    // the DuckDB oracles replicate the modulus as a GENERATED CASE
+    // ladder — parse the generated SQL back into (threshold, m) rungs
+    // and assert the pure function agrees at every boundary INCLUDING
+    // past the ELSE rung (the round-8 advice gap: an unbounded
+    // engine-side doubling loop vs a finite ladder diverged above the
+    // ladder's last threshold)
+    val sql = sqrtModulusLadderSql("c")
+    val rung = """WHEN c <= (\d+) THEN (\d+)""".r
+    val ladder = rung.findAllMatchIn(sql)
+      .map(m => m.group(1).toLong -> m.group(2).toLong).toSeq
+    assert(ladder.nonEmpty && sql.endsWith(s"ELSE $SqrtModulusCap END"))
     def oracle(c: Long): Long =
-      ladder.find(c <= _._1).map(_._2).getOrElse(16384L)
+      ladder.find(c <= _._1).map(_._2).getOrElse(SqrtModulusCap)
     val probes = Seq(1L, 2L, 500L, 1023L, 1024L, 1025L) ++
       ladder.flatMap { case (t, _) => Seq(t - 1, t, t + 1) } ++
-      Seq(100000000L)
+      // past the ELSE: the old 16384 divergence point and the cap's own
+      // threshold neighborhood
+      Seq(100000000L, 268435456L, 268435457L,
+        SqrtModulusCap * SqrtModulusCap, SqrtModulusCap * SqrtModulusCap + 1)
     probes.foreach { n =>
       assert(sqrtModulus(n) === oracle(n), s"n=$n")
-      assert(sqrtModulus(n) * sqrtModulus(n) >= n || sqrtModulus(n) == 16384L,
+      assert(sqrtModulus(n) * sqrtModulus(n) >= n || sqrtModulus(n) == SqrtModulusCap,
         s"m^2 >= n violated at n=$n")
+    }
+    // the q388 segment ladder (min=8) obeys the same agreement
+    val sql8 = sqrtModulusLadderSql("c", min = 8L)
+    val ladder8 = rung.findAllMatchIn(sql8)
+      .map(m => m.group(1).toLong -> m.group(2).toLong).toSeq
+    def oracle8(c: Long): Long =
+      ladder8.find(c <= _._1).map(_._2).getOrElse(SqrtModulusCap)
+    (Seq(1L, 63L, 64L, 65L, 15000L) ++ ladder8.flatMap { case (t, _) => Seq(t - 1, t, t + 1) })
+      .foreach(n => assert(sqrtModulus(n, min = 8L) === oracle8(n), s"min=8 n=$n"))
+  }
+
+  test("q318 sign-of-ROUNDED slope boundary: engine matches the oracle contract") {
+    // Round-8 ADVICE adjudication: the advice claimed the DuckDB oracle
+    // takes sign() of the UNROUNDED slope while the engine signs the
+    // 6dp-rounded one. Both in fact sign the rounded value
+    // (Curation28: engine signum(round(slope,6)); oracle
+    // sign(slope_group) where grp already rounds 6dp) — advice struck.
+    // This pins the shared near-zero boundary: a group slope in
+    // (-5e-7, 5e-7) signs as 0 (so a +4.9e-7 group vs a positive
+    // pooled slope DOES read as flipped — the 6dp contract treats it
+    // as flat), and ±5e-7 rounds away from zero on both engines
+    // (HALF_UP on the same IEEE double; DuckDB measured:
+    // round(5e-7,6)=1e-6 sign 1, round(4.9e-7,6)=0 sign 0,
+    // round(-5e-7,6)=-1e-6 sign -1).
+    import org.apache.spark.sql.functions.{col, round, signum}
+    import spark.implicits._
+    val probes = Seq(
+      4.9e-7 -> 0.0, 5e-7 -> 1.0, 5.0000001e-7 -> 1.0, 9.999999e-7 -> 1.0,
+      -4.9e-7 -> 0.0, -5e-7 -> -1.0, -9.999999e-7 -> -1.0)
+    val got = probes.map(_._1).toDF("x")
+      .select(col("x"), signum(round(col("x"), 6)).as("s"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    probes.foreach { case (x, want) =>
+      assert(got(x) === want, s"signum(round($x,6))")
     }
   }
 }

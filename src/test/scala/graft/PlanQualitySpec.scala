@@ -730,4 +730,71 @@ class PlanQualitySpec extends SparkSpec {
         s"$q: item-item scoring must ride the basket expansion + equi joins:\n$p")
     }
   }
+
+  test("q388 learned index: segment count scales with the corpus, rank windows are segment-keyed") {
+    // the r8 `weak` item: a hardwired 8-way fanout made each segment's
+    // rank window a single-task n/8-row sort. Pin both halves of the
+    // fix: (a) the global rank decomposes into per-SEGMENT windows
+    // (the row_number window partitions by sg — no unpartitioned sort
+    // of the key corpus), and (b) the segment count GROWS with the
+    // data past the old 8 (sqrtModulus convention, min 8: sf0.001's
+    // 1500 keys give 64 segments of ~23 keys).
+    val df = SparkEntry.queries("q388_learned_index_fit")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val rankWindows = p.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rankWindows.nonEmpty, s"expected the per-segment rank window:\n$p")
+    rankWindows.foreach { l =>
+      assert(l.contains("sg#"), s"rank window must partition by segment: $l")
+    }
+    val segs = df.select("segment").distinct().count()
+    val keys = Tables.orders(spark, sf).select("o_orderkey").distinct().count()
+    val m = graft.operators.Similarity.sqrtModulus(keys, min = 8L)
+    assert(m > 8, s"fixture too small to exercise growth (m=$m)")
+    assert(segs > 8 && segs <= m,
+      s"segment count must scale with the corpus: got $segs of m=$m (n=$keys)")
+  }
+
+  test("q406 universe sampling: the key-hash filter sits on BOTH sides of each sampled join") {
+    // losing one side's filter silently turns the unbiased 1/p
+    // estimator into a p² intersection (still runs, wrong variance and
+    // wrong inflation) — pin it structurally: of the three l_orderkey
+    // joins, the truth join has no hash filter and BOTH sampled joins
+    // carry an md5-based filter in EACH child subtree; no join may
+    // carry it on exactly one side.
+    val qe = SparkEntry.queries("q406_universe_join_sample")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val equiJoins = joins.filter(_.condition.exists(_.toString.contains("l_orderkey")))
+    assert(equiJoins.size >= 3, s"expected truth + 2 sampled joins:\n${qe.optimizedPlan}")
+    def hasHash(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.toString.toLowerCase.contains("md5")
+    val sides = equiJoins.map(j => (hasHash(j.left), hasHash(j.right)))
+    assert(sides.count { case (l, r) => l && r } >= 2,
+      s"both sampled joins must filter both sides by the key hash: $sides")
+    assert(!sides.exists { case (l, r) => l != r },
+      s"a one-sided sample filter is the silent p² bug: $sides")
+  }
+
+  test("q409 WOE binning: bounds broadcast to the scan, grid aggregation is keyed") {
+    val p = plan("q409_woe_binning")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row bounds frame must broadcast, never a shuffled product:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"expected the bounds/totals broadcast:\n$p")
+    assert(p.contains("partial_"),
+      s"the 20-bin grid must aggregate map-side first:\n$p")
+  }
+
+  test("q410 fair thresholds: search space is the bounded broadcast grid, argmin is top-1") {
+    val p = plan("q410_fair_thresholds")
+    assert(!p.contains("CartesianProduct"),
+      s"the 20x20 combo cross must broadcast, never a shuffled product:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the argmin must be a bounded top-1, not a global sort:\n$p")
+    // cumulative selection rates must stay per-group windows
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("g#"), s"selection-rate window must partition by group: $l")
+    }
+  }
 }

@@ -2,8 +2,20 @@
 # Run graft mains on the compiled classpath without holding the sbt
 # project lock (lets code editing + benching proceed in parallel).
 # Usage: tools/run_bench.sh <MainClass> [args...]   (env passes through)
-cd /root/repo
+# Repo root derived from the script location so a relocated checkout
+# doesn't silently run against the wrong tree (r8 advice).
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$ROOT"
 MAIN=$1; shift
+# Heap sizing: default 16g, but a big SF dir needs headroom for wide
+# shuffles (sf10 ~1.7 GB parquet fans out to 1.2B-row stages) — scale
+# the default with the input so the sf10 gate runs unattended.
+# SPARK_DRIVER_MEM always overrides.
+if [ -z "$SPARK_DRIVER_MEM" ] && [ -n "$SPARK_GRAFT_SF_DIR" ] && [ -d "$SPARK_GRAFT_SF_DIR" ]; then
+  SF_MB=$(du -sm "$SPARK_GRAFT_SF_DIR" 2>/dev/null | cut -f1)
+  if [ "${SF_MB:-0}" -ge 500 ]; then SPARK_DRIVER_MEM=80g
+  elif [ "${SF_MB:-0}" -ge 100 ]; then SPARK_DRIVER_MEM=32g; fi
+fi
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
@@ -21,5 +33,5 @@ exec java \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-16g} \
   -XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing \
-  -cp "${GRAFT_CP:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*" \
+  -cp "${GRAFT_CP:-$ROOT/target/scala-2.13/classes}:/opt/spark/jars/*" \
   "$MAIN" "$@"
