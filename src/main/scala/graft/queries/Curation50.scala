@@ -90,6 +90,12 @@ object Curation50 {
     runRestartable(agg, ckpt, outDir, "update") // run 1: commits wm = mx − 72 h
     addBatchFile(ev.filter(!b1), root, "02_batch.parquet", 1)
     runRestartable(agg, ckpt, outDir, "update") // restart: old rows are now late
+    // third restart with NO new input: exactly-once discipline — a
+    // sink that replayed the last batch on recovery would re-append
+    // rows here and shift nothing (max(n) absorbs duplicates), but a
+    // source that lost its offset log would reprocess both files
+    // against the restored watermark and break the hash
+    runRestartable(agg, ckpt, outDir, "update")
     s.read.parquet(outDir)
       .groupBy("w_start", "event_type").agg(max(col("n")).as("n"))
       .orderBy("w_start", "event_type")
