@@ -22,7 +22,7 @@ object Curation50 {
     * streaming-source batch-file convention of [[Curation31]]): older
     * mtime AND lexically first = processed first.
     */
-  private[queries] def addBatchFile(df: DataFrame, root: String, name: String,
+  private[graft] def addBatchFile(df: DataFrame, root: String, name: String,
       ageMinutes: Long): Unit = {
     import java.nio.file.{Files, Paths}
     val inDir = s"$root/input"
@@ -47,7 +47,7 @@ object Curation50 {
     * source offsets, state-store contents, and the committed watermark
     * from disk.
     */
-  private[queries] def runRestartable(agg: DataFrame, ckpt: String, outDir: String,
+  private[graft] def runRestartable(agg: DataFrame, ckpt: String, outDir: String,
       mode: String): Unit = {
     val q = agg.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>

@@ -786,6 +786,26 @@ class PlanQualitySpec extends SparkSpec {
       s"the 20-bin grid must aggregate map-side first:\n$p")
   }
 
+  test("q420 DeLong CI: score-bucket aggregate is keyed map-side, totals broadcast") {
+    val p = plan("q420_delong_auc_ci")
+    assert(p.contains("partial_"),
+      s"the quantized-score grid must aggregate map-side first:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row totals frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no shuffled products in the placement pass:\n$p")
+  }
+
+  test("q422 OBF looks: corpus collapses to the arm x day grid before the 5-look expansion") {
+    val p = plan("q422_obf_sequential")
+    // the look expansion must multiply the BOUNDED (arm, day) grid,
+    // not the raw event scan — pin: the scan side aggregates
+    // (partial_ over arm/dy) below any join with the looks frame
+    assert(p.contains("partial_"), s"expected the keyed day grid:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the looks cross must broadcast, never a shuffled product:\n$p")
+  }
+
   test("q410 fair thresholds: search space is the bounded broadcast grid, argmin is top-1") {
     val p = plan("q410_fair_thresholds")
     assert(!p.contains("CartesianProduct"),

@@ -402,4 +402,40 @@ class StreamingSpec extends SparkSpec {
     // left join: unmatched stream rows survive with a null dimension
     assert(rows == Set((1L, Some("premium")), (2L, Some("free")), (3L, None)), s"got $rows")
   }
+
+  test("runRestartable: run 2 restores offsets and state instead of reprocessing run 1") {
+    // unit twin of the q411/q412/q417 oracles: two AvailableNow runs
+    // against ONE checkpoint. If restart restored the source offset
+    // log, file 1 is NOT reprocessed (only keys touched by file 2
+    // re-emit in update mode); if it restored the state store, the
+    // re-emitted count CONTINUES from run 1 (u=1 reaches 3, not 2).
+    import spark.implicits._
+    val root = graft.operators.Materialize.jvmScratch(
+      "restart-spec-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val (ckpt, outDir) = (s"$root/ckpt", s"$root/out")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      graft.queries.Curation50.runRestartable(df, ckpt, outDir, "update")
+    def agg = {
+      val schema = Seq((1L, ts(1))).toDF("u", "ts").schema
+      spark.readStream.schema(schema).parquet(s"$root/input")
+        .groupBy("u").agg(count(lit(1)).as("n"))
+    }
+    graft.queries.Curation50.addBatchFile(
+      Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(3))).toDF("u", "ts"), root,
+      "01_batch.parquet", 2)
+    run(agg)
+    val afterRun1 = spark.read.parquet(outDir).as[(Long, Long)].collect().toSet
+    assert(afterRun1 == Set((1L, 2L), (2L, 1L)), s"run 1 emitted $afterRun1")
+    graft.queries.Curation50.addBatchFile(
+      Seq((1L, ts(4)), (3L, ts(5))).toDF("u", "ts"), root, "02_batch.parquet", 1)
+    run(agg)
+    val all = spark.read.parquet(outDir).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    // state restored: u=1 continues 2 -> 3; offsets restored: u=2 is
+    // NOT re-emitted by run 2 (update mode emits only touched keys)
+    assert(all == Map(1L -> 3L, 2L -> 1L, 3L -> 1L), s"got $all")
+    val emitted = spark.read.parquet(outDir).count()
+    assert(emitted == 4L,
+      s"run 2 must emit exactly the 2 touched keys (offset log restored), total 4 rows, got $emitted")
+  }
 }
