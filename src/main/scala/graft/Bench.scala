@@ -135,19 +135,28 @@ object Bench {
     val hostName = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "unknown" }
     val hostPart =
       f""","host":{"name":"$hostName","cpus":${Runtime.getRuntime.availableProcessors()},"factor_vs_best":$hostFactor%.3f}"""
-    // "see" sits at the END of the line: the driver's artifact keeps
-    // only a ~2000-char stdout TAIL, so a head-truncated capture still
-    // shows the pointer to the full per-query artifact.
-    val line =
+    // Self-contained artifact FIRST: the full per-query map at this
+    // query count (>400) overflows the driver's fixed-size stdout
+    // capture, so it lives in a file, never on stdout (BENCH_r06–r09
+    // all had parsed:null because the full line's head was truncated
+    // away). The file is the authoritative per-query record.
+    val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(qs)}$isoPart$hostPart,"sf":"$sf","see":"BENCH_full.json"}"""
-    println(line)
-    // Self-contained artifact: the driver's stdout capture is a
-    // truncated tail at this query count (BENCH_r06 kept only the last
-    // ~73 queries), so a regression in early names was invisible to
-    // anyone diffing rounds. The full line also lands in a file.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    // The stdout contract line prints LAST and stays under the driver's
+    // ~2000-char capture window: per-query map only when a filter keeps
+    // it small, otherwise an empty map plus the "see" pointer. This is
+    // the line the driver parses into BENCH_rNN.json.
+    val qJson = obj(qs)
+    val queriesPart = if (qJson.length <= 1200) qJson else "{}"
+    val isoTotalPart =
+      if (iso.isEmpty) ""
+      else f""","value_isolated":${iso.values.filter(_ >= 0).sum}%.3f"""
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${qs.size},"queries":$queriesPart$isoTotalPart$hostPart,"sf":"$sf","see":"BENCH_full.json"}"""
+    println(line)
   }
 
   /** Commit-time regression tripwire, host-speed normalized. Anchors

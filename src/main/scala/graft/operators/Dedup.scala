@@ -827,18 +827,54 @@ object Dedup {
     *    already 2-3x ahead and the gap widens every decade (SCALE.md).
     *    The crossover sits between those corpus sizes; both paths
     *    return bit-identical pairs (OperatorsSpec hash-equality law),
-    *    so the switch can never change results, only the plan.
+    *    so the switch can never change results, only the plan. The
+    *    corpus size is read from plan statistics (or the caller's
+    *    `knownCount` hint) — no job runs to make the choice; see
+    *    [[estimatedRowCount]].
     */
   val PrefixCrossoverDocs = 16384L
 
+  /** Conservative compressed-bytes-per-document divisor for the
+    * stats-based corpus-size estimate (the harness docs measure
+    * ~119 B/doc in parquet). Underestimating bytes-per-doc can only
+    * OVERestimate the doc count, which picks the prefix path early —
+    * the asymptotically safe side (both paths are hash-identical, so
+    * the choice is pure plan shape).
+    */
+  private val BytesPerDocEstimate = 128L
+
+  /** Order-of-magnitude row estimate WITHOUT running a job: Catalyst
+    * `rowCount` when the plan carries one, else compressed scan bytes
+    * over [[BytesPerDocEstimate]] (parquet scans always expose
+    * sizeInBytes from the file index), else None. The `auto` crossover
+    * needs only a decade-level estimate, and an eager `df.count()` at
+    * plan-construction time recomputed arbitrary upstream work twice
+    * (r9 verdict item: at 100 TB that is a full extra pass before any
+    * dedup starts).
+    */
+  private[graft] def estimatedRowCount(df: DataFrame): Option[Long] = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).orElse {
+      val sz = stats.sizeInBytes
+      // defaultSizeInBytes (Long.MaxValue) marks "unknown" — don't divide it
+      if (sz > 0 && sz < BigInt(Long.MaxValue) / 2) Some(math.max(1L, (sz / BytesPerDocEstimate).toLong))
+      else None
+    }
+  }
+
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int, threshold: Double, tiles: Int = 8): DataFrame = {
+      n: Int, threshold: Double, tiles: Int = 8,
+      knownCount: Option[Long] = None): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(tiles >= 1, s"tiles must be >= 1, got $tiles")
     val usePrefix = df.sparkSession.conf
       .getOption("spark.graft.jaccard.prefixFilter").getOrElse("auto") match {
-      case "auto" => df.count() >= PrefixCrossoverDocs
+      case "auto" =>
+        // hint > plan statistics > count(); count() runs a real job and
+        // is the last resort for stat-less plans (e.g. local relations
+        // behind barriers) — parquet-backed frames never reach it
+        knownCount.orElse(estimatedRowCount(df)).getOrElse(df.count()) >= PrefixCrossoverDocs
       case other => other.toBoolean
     }
     if (usePrefix) ngramJaccardPairsPrefix(df, idCol, textCol, blockCol, n, threshold)

@@ -71,6 +71,7 @@ object Similarity {
   val SqrtModulusCap = 65536L
 
   def sqrtModulus(n: Long, min: Long = 32L, cap: Long = SqrtModulusCap): Long = {
+    require(min >= 1 && min <= cap, s"sqrtModulus needs 1 <= min <= cap, got min=$min cap=$cap")
     var m = min
     while (m * m < n && m < cap) m *= 2
     m
@@ -86,8 +87,10 @@ object Similarity {
     * agrees with the engine at every rung INCLUDING the ELSE. */
   def sqrtModulusLadderSql(countExpr: String, min: Long = 32L,
       cap: Long = SqrtModulusCap): String = {
-    val whens = ladderRungs(min, cap)
-      .map(m => s"WHEN $countExpr <= ${m * m} THEN $m").mkString(" ")
+    require(min >= 1 && min <= cap, s"ladder needs 1 <= min <= cap, got min=$min cap=$cap")
+    val rungs = ladderRungs(min, cap)
+    if (rungs.isEmpty) return cap.toString // min == cap: degenerate single-rung ladder
+    val whens = rungs.map(m => s"WHEN $countExpr <= ${m * m} THEN $m").mkString(" ")
     s"CASE $whens ELSE $cap END"
   }
 
@@ -96,7 +99,9 @@ object Similarity {
     * a driver-side count). */
   def sqrtModulusLadderCol(c: org.apache.spark.sql.Column, min: Long = 32L,
       cap: Long = SqrtModulusCap): org.apache.spark.sql.Column = {
+    require(min >= 1 && min <= cap, s"ladder needs 1 <= min <= cap, got min=$min cap=$cap")
     val rungs = ladderRungs(min, cap)
+    if (rungs.isEmpty) return lit(cap) // min == cap: degenerate single-rung ladder
     rungs.tail.foldLeft(when(c <= rungs.head * rungs.head, rungs.head)) {
       (acc, m) => acc.when(c <= m * m, m)
     }.otherwise(cap)

@@ -176,12 +176,17 @@ object Curation51 {
         |FROM terms GROUP BY n ORDER BY n""".stripMargin
     },
     // batch gap sessionization; a session is emitted iff the final
-    // watermark (max ts − 24 h) passed its end (last event + gap)
+    // watermark (max ts − 24 h) passed its end (last event + gap).
+    // Break on gap >= 1 hour, NOT >: session_window's range is
+    // [start, last + gap) — an event exactly one gap after its
+    // predecessor falls outside and starts a NEW session (the q82
+    // convention at TimeWindows.scala; a `>` oracle only agreed with
+    // Spark because no exact-gap pair existed in the test data).
     "q417_restart_sessions" ->
       """WITH mx AS (SELECT max(ts) m FROM events),
         |marked AS (SELECT user_id, ts,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |      > INTERVAL 1 HOUR OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      >= INTERVAL 1 HOUR OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
         |      IS NULL THEN 1 ELSE 0 END brk
         |  FROM events),
         |sess AS (SELECT user_id, ts,

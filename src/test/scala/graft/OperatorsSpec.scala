@@ -292,6 +292,39 @@ class OperatorsSpec extends SparkSpec {
       "prefix path must not be the tiled kernel (it materializes to a spill scan)")
   }
 
+  test("jaccard auto mode decides from plan statistics — no job runs to pick the path") {
+    // r9 verdict item: the old auto mode spent an eager df.count() at
+    // plan-construction time (a full extra pass over arbitrary upstream
+    // work at 100 TB). Parquet-backed frames must decide from Catalyst
+    // stats: assert (a) the estimate exists and lands in the right
+    // decade for both harness dirs, and (b) constructing the auto plan
+    // on a parquet scan submits ZERO Spark jobs.
+    val tinyDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val est = graft.operators.Dedup.estimatedRowCount(tinyDocs)
+    assert(est.isDefined, "parquet scan must expose a stats-based row estimate")
+    assert(est.get < graft.operators.Dedup.PrefixCrossoverDocs,
+      s"sf0.001 corpus estimated at ${est.get} docs — must sit below the crossover")
+    val bigDocs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    val estBig = graft.operators.Dedup.estimatedRowCount(bigDocs)
+    assert(estBig.isDefined && estBig.get > est.get * 10,
+      s"sf0.1 estimate (${estBig.getOrElse(-1L)}) must scale with the data (sf0.001 = ${est.get})")
+    // zero-job pin: count job submissions while the auto plan is built
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.operators.Dedup.ngramJaccardPairs(tinyDocs, "doc_id", "text", "lang",
+        n = 3, threshold = 0.8) // auto (conf unset), tiled side: a live plan
+      Thread.sleep(1500) // listener bus is async; a count() job would surface well within this
+      assert(jobs.get() == 0,
+        s"auto path selection submitted ${jobs.get()} job(s) — must be stats-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("registerAll is order-independent: events view works without a pre-set nanos conf") {
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")

@@ -13,8 +13,16 @@ MAIN=$1; shift
 # SPARK_DRIVER_MEM always overrides.
 if [ -z "$SPARK_DRIVER_MEM" ] && [ -n "$SPARK_GRAFT_SF_DIR" ] && [ -d "$SPARK_GRAFT_SF_DIR" ]; then
   SF_MB=$(du -sm "$SPARK_GRAFT_SF_DIR" 2>/dev/null | cut -f1)
-  if [ "${SF_MB:-0}" -ge 500 ]; then SPARK_DRIVER_MEM=80g
-  elif [ "${SF_MB:-0}" -ge 100 ]; then SPARK_DRIVER_MEM=32g; fi
+  if [ "${SF_MB:-0}" -ge 500 ]; then WANT_MB=81920
+  elif [ "${SF_MB:-0}" -ge 100 ]; then WANT_MB=32768; fi
+  if [ -n "$WANT_MB" ]; then
+    # Clamp the derived tier to 80% of physical RAM so a smaller-RAM
+    # host degrades to a runnable heap instead of failing at JVM start.
+    HOST_KB=$(awk '/MemTotal/ {print $2}' /proc/meminfo 2>/dev/null)
+    CAP_MB=$(( ${HOST_KB:-0} / 1280 ))   # kB -> MB * 0.8
+    if [ "$CAP_MB" -gt 0 ] && [ "$WANT_MB" -gt "$CAP_MB" ]; then WANT_MB=$CAP_MB; fi
+    if [ "$WANT_MB" -gt 16384 ]; then SPARK_DRIVER_MEM="${WANT_MB}m"; fi
+  fi
 fi
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
