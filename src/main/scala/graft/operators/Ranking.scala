@@ -46,4 +46,48 @@ private[graft] object Ranking {
       .withColumn(rankName, col("__off") + col("__lrn"))
       .drop("__bkt", "__lrn", "__off")
   }
+
+  /** Append `outName` = max of `valCol` over all rows with a STRICTLY
+    * larger `keyCol` (exclusive prefix max in key-descending order;
+    * null when no larger key exists). Keys must be distinct (the
+    * caller's frame is a groupBy(key) result) and int/long-valued.
+    *
+    * Same machinery as [[globalRank]]: range-repartition on key desc,
+    * spill once so every downstream job sees identical buckets, then a
+    * per-bucket running max (window keyed by bucket id — fully
+    * parallel) combined with each bucket's carry-in: the running max of
+    * all EARLIER buckets, from a |buckets|-row collect (bounded driver
+    * metadata). No single-task pass at any width — the r9 verdict's
+    * skyline2d item.
+    */
+  def prefixMaxExclusiveDesc(df: DataFrame, keyCol: String, valCol: String,
+      outName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(2, spark.sessionState.conf.numShufflePartitions / 2)
+    val bucketed = Materialize.spillRelease(
+      df.repartitionByRange(parts, col(keyCol).desc)
+        .withColumn("__bkt", spark_partition_id()))
+    // bucket carry-ins: max(val) per bucket, exclusive-scanned on the
+    // driver in bucket order (bucket 0 holds the largest keys)
+    val maxes = bucketed.groupBy("__bkt")
+      .agg(max(col(valCol).cast("long")).as("m"))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var carry: Option[Long] = None
+    val carries = maxes.map { case (b, m) =>
+      val row = (b, carry)
+      carry = (carry.toSeq ++ m.toSeq).reduceOption((a: Long, b: Long) => math.max(a, b))
+      row
+    }
+    val carryDf = carries.toSeq.toDF("__bkt", "__carry")
+    val w = Window.partitionBy(col("__bkt")).orderBy(col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("__run", max(col(valCol).cast("long")).over(w))
+      .join(broadcast(carryDf), "__bkt")
+      // greatest() skips nulls: null only when BOTH carry and running max are absent
+      .withColumn(outName, greatest(col("__run"), col("__carry")))
+      .drop("__bkt", "__run", "__carry")
+  }
 }

@@ -94,11 +94,13 @@ object Skyline {
     survivors.coalesce(1).mapPartitions(it => localFront(it.toArray, idx))(enc)
   }
 
-  /** 2D special case: phase 2 stays fully parallel (two incremental
-    * window aggregates — max(y) per distinct x and a prefix running max
-    * over x descending — never a self-join, shrinking frame, or
-    * single-task pass), so even a pathologically large survivor union
-    * distributes.
+  /** 2D special case: phase 2 stays fully parallel — max(y) per
+    * distinct x, then an exclusive prefix max over x descending built
+    * on [[Ranking.prefixMaxExclusiveDesc]]'s range-bucketed machinery
+    * (per-bucket windows plus a |buckets|-row carry-in collect). Never
+    * a self-join, shrinking frame, or single-task pass — including on
+    * anti-correlated data where EVERY row survives the local fronts
+    * and the distinct-x union is as large as the input.
     */
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val schema = df.schema
@@ -109,8 +111,7 @@ object Skyline {
     val local = Materialize.spillRelease(
       df.mapPartitions(it => localFront(it.toArray, idx))(enc))
     val gmax = local.groupBy(col(xCol)).agg(max(col(yCol)).as("__gy"))
-    val wd = Window.orderBy(col(xCol).desc).rowsBetween(Window.unboundedPreceding, -1)
-    val thresholds = gmax.withColumn("__maxy_gt", max(col("__gy")).over(wd))
+    val thresholds = Ranking.prefixMaxExclusiveDesc(gmax, xCol, "__gy", "__maxy_gt")
     local.join(thresholds, Seq(xCol))
       .filter((col("__maxy_gt").isNull || col("__maxy_gt") < col(yCol)) &&
         col("__gy") === col(yCol))
