@@ -48,17 +48,44 @@ object Curation50 {
     * from disk.
     */
   private[graft] def runRestartable(agg: DataFrame, ckpt: String, outDir: String,
-      mode: String): Unit = {
+      mode: String): String = {
     val q = agg.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(outDir); ()
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // EXACTLY-ONCE sink (r9 verdict item 3): each micro-batch lands
+        // in a batchId-keyed directory with an atomic commit marker.
+        // The streaming engine replays an in-flight batch after a crash
+        // with the SAME batchId: an uncommitted replay OVERWRITES its
+        // own directory (never appends a duplicate), a committed one is
+        // skipped. Read-backs can therefore count raw emission rows —
+        // no max()/distinct absorption laundering possible replays.
+        val dir = s"$outDir/batch=$batchId"
+        val marker = new java.io.File(s"$dir/_graft_committed")
+        if (!marker.exists()) {
+          b.write.mode("overwrite").parquet(dir)
+          marker.createNewFile()
+        }
+        ()
       }
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .start()
     q.awaitTermination()
+    // return the run's physical plan (StreamingSpec pins assert the
+    // state operators are present and that a restart replans
+    // IDENTICALLY — checkpoint compatibility is what makes restarts
+    // work in prod). explain() prints; capture it.
+    val bos = new java.io.ByteArrayOutputStream()
+    try Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) { q.explain(true) }
+    catch { case _: Throwable => () } // a zero-batch run has no plan yet
+    bos.toString("UTF-8")
   }
+
+  /** Read every committed micro-batch back from a [[runRestartable]]
+    * sink, without the `batch` partition column. */
+  private[graft] def readSink(s: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame =
+    s.read.parquet(outDir).drop("batch")
 
   /** q411: watermark survives a REAL query restart. Run 1 streams only
     * the newest 24 h (contains the global max ts, committing watermark
@@ -90,14 +117,19 @@ object Curation50 {
     runRestartable(agg, ckpt, outDir, "update") // run 1: commits wm = mx − 72 h
     addBatchFile(ev.filter(!b1), root, "02_batch.parquet", 1)
     runRestartable(agg, ckpt, outDir, "update") // restart: old rows are now late
-    // third restart with NO new input: exactly-once discipline — a
-    // sink that replayed the last batch on recovery would re-append
-    // rows here and shift nothing (max(n) absorbs duplicates), but a
-    // source that lost its offset log would reprocess both files
-    // against the restored watermark and break the hash
+    // third restart with NO new input: a source that lost its offset
+    // log would reprocess both files against the restored watermark
+    // and break the hash
     runRestartable(agg, ckpt, outDir, "update")
-    s.read.parquet(outDir)
-      .groupBy("w_start", "event_type").agg(max(col("n")).as("n"))
+    // n = final state per key (update-mode emissions are monotone);
+    // n_emits = RAW emission-row count per key — the batchId-keyed
+    // idempotent sink makes this exact (1 for keys seen in one run,
+    // 2 for windows emitted in both), so ANY sink replay or offset
+    // reprocessing inflates it and breaks the hash. This is the
+    // non-absorbing read-back the r9 verdict demanded.
+    readSink(s, outDir)
+      .groupBy("w_start", "event_type")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_emits"))
       .orderBy("w_start", "event_type")
   }
 
@@ -128,7 +160,7 @@ object Curation50 {
     runRestartable(dd, ckpt, outDir, "append") // run 1: state = newest 24 h ids
     addBatchFile(ev, root, "02_batch.parquet", 1)
     runRestartable(dd, ckpt, outDir, "append") // restart: repeats must be suppressed
-    s.read.parquet(outDir)
+    readSink(s, outDir)
       .groupBy("event_type").agg(count(lit(1)).as("n_events"),
         countDistinct(col("event_id")).as("n_distinct"))
       .orderBy("event_type")
@@ -228,14 +260,31 @@ object Curation50 {
 
   val oracles: Map[String, String] = Map(
     // identical acceptance rule to q328: a window survives iff it ends
-    // after the restored watermark max − 72 h
+    // after the restored watermark max − 72 h. n_emits models the
+    // exactly-once sink: one emission per run that touched the key —
+    // run 1 = keys of the newest 24 h (k1), run 2 = keys of the rest
+    // that pass the restored watermark (k2), run 3 = none.
     "q411_restart_watermark" ->
-      """WITH mx AS (SELECT max(ts) m FROM events)
-        |SELECT date_trunc('hour', ts) AS w_start, event_type,
-        |  count(*)::BIGINT AS n
-        |FROM events, mx
-        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > m - INTERVAL 72 HOUR
-        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+      """WITH mx AS (SELECT max(ts) m FROM events),
+        |k1 AS (SELECT DISTINCT date_trunc('hour', ts) w_start, event_type
+        |  FROM events, mx WHERE ts > m - INTERVAL 24 HOUR),
+        |k2 AS (SELECT DISTINCT date_trunc('hour', ts) w_start, event_type
+        |  FROM events, mx WHERE ts <= m - INTERVAL 24 HOUR
+        |    AND date_trunc('hour', ts) + INTERVAL 1 HOUR > m - INTERVAL 72 HOUR),
+        |fin AS (SELECT date_trunc('hour', ts) w_start, event_type,
+        |    count(*) n
+        |  FROM events, mx
+        |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > m - INTERVAL 72 HOUR
+        |  GROUP BY 1, 2)
+        |SELECT f.w_start AS w_start, f.event_type AS event_type,
+        |  f.n::BIGINT AS n,
+        |  (CASE WHEN k1.w_start IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN k2.w_start IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_emits
+        |FROM fin f
+        |LEFT JOIN k1 ON f.w_start = k1.w_start AND f.event_type = k1.event_type
+        |LEFT JOIN k2 ON f.w_start = k2.w_start AND f.event_type = k2.event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     // every event id emitted exactly once across both runs — the batch
     // distinct twin; n_events = n_distinct is the no-reemission claim
     "q412_restart_dedup" ->

@@ -81,8 +81,13 @@ object Curation51 {
     Curation50.runRestartable(agg, ckpt, outDir, "append")
     Curation50.addBatchFile(ev.filter(!cut), root, "02_batch.parquet", 1)
     Curation50.runRestartable(agg, ckpt, outDir, "append")
-    s.read.parquet(outDir)
-      .groupBy("s_start", "user_id").agg(max(col("n_events")).as("n_events"))
+    // RAW rows, no grouping: append mode emits each closed session
+    // exactly once, and the batchId-keyed idempotent sink guarantees
+    // no replay duplicates — so a groupBy/max read-back would only
+    // launder a broken sink. A replayed or split session now breaks
+    // rows_match/hash directly (r9 verdict item 3).
+    Curation50.readSink(s, outDir)
+      .select(col("s_start"), col("user_id"), col("n_events"))
       .orderBy("s_start", "user_id")
   }
 

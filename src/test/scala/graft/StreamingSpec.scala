@@ -424,18 +424,122 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(3))).toDF("u", "ts"), root,
       "01_batch.parquet", 2)
     run(agg)
-    val afterRun1 = spark.read.parquet(outDir).as[(Long, Long)].collect().toSet
+    def sink() = graft.queries.Curation50.readSink(spark, outDir)
+    val afterRun1 = sink().as[(Long, Long)].collect().toSet
     assert(afterRun1 == Set((1L, 2L), (2L, 1L)), s"run 1 emitted $afterRun1")
     graft.queries.Curation50.addBatchFile(
       Seq((1L, ts(4)), (3L, ts(5))).toDF("u", "ts"), root, "02_batch.parquet", 1)
     run(agg)
-    val all = spark.read.parquet(outDir).as[(Long, Long)].collect()
+    val all = sink().as[(Long, Long)].collect()
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     // state restored: u=1 continues 2 -> 3; offsets restored: u=2 is
     // NOT re-emitted by run 2 (update mode emits only touched keys)
     assert(all == Map(1L -> 3L, 2L -> 1L, 3L -> 1L), s"got $all")
-    val emitted = spark.read.parquet(outDir).count()
+    val emitted = sink().count()
     assert(emitted == 4L,
       s"run 2 must emit exactly the 2 touched keys (offset log restored), total 4 rows, got $emitted")
+    // exactly-once sink layout: every micro-batch landed in its own
+    // batchId-keyed dir with a commit marker, and a marker-present dir
+    // is skipped on replay — simulate a replayed batch by deleting the
+    // data but keeping the marker: the count must NOT change after a
+    // no-op third run (nothing reprocessed, nothing re-appended)
+    val batchDirs = new java.io.File(outDir).listFiles().filter(_.getName.startsWith("batch="))
+    assert(batchDirs.nonEmpty, "sink must be batchId-partitioned")
+    batchDirs.foreach { d =>
+      assert(new java.io.File(d, "_graft_committed").exists(), s"missing commit marker in $d")
+    }
+    run(agg) // third run, no new input: idempotent sink appends nothing
+    assert(sink().count() == 4L, "a no-input restart must not re-append committed batches")
+  }
+
+  // hour-scale event times for horizon/eviction tests
+  private def tsh(hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${hour}%02d:00:00")
+
+  test("dropDuplicatesWithinWatermark EVICTS state: post-horizon re-arrival re-emits") {
+    // unit twin of q423: the 100 TB streaming killer is state that
+    // never shrinks. With a 1 h horizon, ids seen at t0 must be
+    // FORGOTTEN once the watermark passes t0 + 1 h — a later
+    // re-arrival is a new event and must re-emit; an id still inside
+    // its horizon must stay suppressed.
+    import spark.implicits._
+    val root = graft.operators.Materialize.jvmScratch(
+      "evict-spec-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val (ckpt, outDir) = (s"$root/ckpt", s"$root/out")
+    def dd = {
+      val schema = Seq((1L, tsh(0), "b")).toDF("u", "ts", "src").schema
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/input")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("u")
+        .select("u", "src")
+    }
+    def add(rows: Seq[(Long, Timestamp, String)], name: String, age: Long): Unit =
+      graft.queries.Curation50.addBatchFile(rows.toDF("u", "ts", "src"), root, name, age)
+    add(Seq((1L, tsh(0), "b1"), (2L, tsh(0), "b1")), "01.parquet", 5)
+    graft.queries.Curation50.runRestartable(dd, ckpt, outDir, "append")
+    // restart: wm jumps to 10:00 - 1 h = 09:00, far past b1's 01:00 expiry
+    add(Seq((99L, tsh(10), "b2")), "02.parquet", 4)
+    // a full batch under the advanced watermark physically evicts b1
+    add(Seq((98L, tsh(10), "b3")), "03.parquet", 3)
+    // re-arrivals: 1 and 2 are post-eviction (MUST re-emit); 99 is
+    // still inside its horizon (MUST stay suppressed)
+    add(Seq((1L, tsh(10), "b4"), (2L, tsh(10), "b4"), (99L, tsh(10), "b4")),
+      "04.parquet", 2)
+    graft.queries.Curation50.runRestartable(dd, ckpt, outDir, "append")
+    val got = graft.queries.Curation50.readSink(spark, outDir)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "b1"), (2L, "b1"), (99L, "b2"), (98L, "b3"),
+      (1L, "b4"), (2L, "b4")),
+      s"eviction semantics broken: $got — a state-hoarding engine drops the b4 " +
+        "re-emissions, a state-losing one re-emits 99")
+  }
+
+  test("restart plan pins: state operators present, run 2 replans identically") {
+    // checkpoint compatibility is what makes restarts work in prod —
+    // an accidental plan change between a query's run 1 and its
+    // restarted run 2 is the operator-visible failure. Pin all three
+    // lifecycle shapes: windowed agg (StateStoreSave), session merge
+    // (SessionWindowStateStoreSave), dedup-within-watermark.
+    import spark.implicits._
+    def normalize(p: String) = p
+      .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "UUID")
+      .replaceAll("(file:)?/[^\\s,\\]\\)]*", "PATH")
+      .replaceAll("#\\d+", "#X")
+      .replaceAll("\\d+", "N")
+    def pinShape(tag: String, mode: String, marker: String)(
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val root = graft.operators.Materialize.jvmScratch(
+        s"planpin-$tag-" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      val (ckpt, outDir) = (s"$root/ckpt", s"$root/out")
+      val schema = Seq((1L, tsh(0))).toDF("u", "ts").schema
+      def frame = mk(spark.readStream.schema(schema).parquet(s"$root/input"))
+      def add(rows: Seq[(Long, Timestamp)], name: String, age: Long): Unit =
+        graft.queries.Curation50.addBatchFile(rows.toDF("u", "ts"), root, name, age)
+      add(Seq((1L, tsh(0)), (2L, tsh(1))), "01.parquet", 3)
+      val plan1 = graft.queries.Curation50.runRestartable(frame, ckpt, outDir, mode)
+      assert(plan1.toLowerCase.contains(marker.toLowerCase),
+        s"$tag run-1 plan must carry $marker:\n$plan1")
+      add(Seq((3L, tsh(2)), (4L, tsh(9))), "02.parquet", 2)
+      val plan2 = graft.queries.Curation50.runRestartable(frame, ckpt, outDir, mode)
+      assert(normalize(plan1) == normalize(plan2),
+        s"$tag restart replanned DIFFERENTLY (checkpoint-incompatible):\n" +
+          s"--- run1\n${normalize(plan1)}\n--- run2\n${normalize(plan2)}")
+    }
+    pinShape("agg", "update", "StateStoreSave") { in =>
+      in.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w"), col("n"))
+    }
+    pinShape("session", "append", "SessionWindowStateStoreSave") { in =>
+      in.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("u"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("s"), col("u"), col("n"))
+    }
+    pinShape("dedup", "append", "DeduplicateWithinWatermark") { in =>
+      in.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("u")
+    }
   }
 }
