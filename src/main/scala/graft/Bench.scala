@@ -15,9 +15,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors()))
-    // Shuffle width scaled to DATA volume, not cores (see graft.Tuning:
-    // identical to `cpus` for every SF up to sf1; 256 at sf10, which
-    // the round-8 decade run needed hand-set env for).
+    // Shuffle width = cores; the heap (not the width) scales with the
+    // input — see graft.Tuning's scaladoc for the round-10 paired
+    // probes that reverted the round-9 data-scaled width.
     val shuffle = Tuning.shuffleConf(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,9 +62,15 @@ object Bench {
     // bucketed-layout tables are PREBUILT data layout, not query work
     // (the pay-once-amortize-forever contract); build them for the
     // measured sf dir before the clock starts so q152/q166/q170 time
-    // the co-located read path, not the one-time write
-    try graft.sources.Bucketing.ensure(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] bucketing prewarm: ${e.getMessage}") }
+    // the co-located read path, not the one-time write.
+    // SPARK_GRAFT_SKIP_BUCKETING=1 skips the build for single-query
+    // isolated runs that don't touch the bucketed tables — a fresh JVM
+    // cannot reuse a prior JVM's in-memory catalog, so the paired-scale
+    // protocol would otherwise re-bucket orders+lineitem per query.
+    if (!sys.env.get("SPARK_GRAFT_SKIP_BUCKETING").contains("1")) {
+      try graft.sources.Bucketing.ensure(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] bucketing prewarm: ${e.getMessage}") }
+    }
     def timeOne(s: SparkSession, name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a failed query records -1 and the run continues — one regression

@@ -1,18 +1,37 @@
 package graft
 
-/** Session-bootstrap sizing derived from the INPUT, not the host.
+/** Session-bootstrap sizing for the local harness.
   *
-  * Shuffle width must scale with data volume: at sf10 a 1.2B-row
-  * aggregate through 32 (= cores) partitions builds ~37M-entry
-  * per-task hash maps and OOMs a 48g heap, while 256 partitions
-  * stream it in bounded memory (round-8 measurement, SCALE.md). On a
-  * real cluster AQE + `spark.sql.adaptive.coalescePartitions` do this
-  * from runtime statistics; a local[N] harness has no cluster-sized
-  * default, so derive it from the bytes on disk — the same signal a
-  * capacity planner uses. `SPARK_GRAFT_SHUFFLE` always overrides.
+  * History, because this setting has flipped on measurement twice:
+  *
+  *  - Round 8: q363's 1.2B-row candidate aggregation OOM'd a 48 GB
+  *    heap at 32 shuffle partitions; hand-setting 256 partitions plus
+  *    an 80 GB heap completed it, and round 9 automated BOTH (width
+  *    from input bytes here, heap from the SF dir in
+  *    `tools/run_bench.sh`).
+  *  - Round 10's paired same-host protocol separated the two factors:
+  *    with the 80 GB heap in place, the data-scaled WIDTH is a pure
+  *    penalty on this box. Isolated sf10 probes (fresh JVM each):
+  *    q408 10.4 s at 32 partitions vs 56.8 s at 256 vs 83.5 s at
+  *    1024; q363 900 s at 32 vs 964 s at 256; q368 confirms the same
+  *    direction. Event logs show why: the big aggregation spills
+  *    ~110-130 GB regardless of width (execution memory is shared by
+  *    the same 32 worker threads, so per-task width slicing does not
+  *    change the total in-flight state), while every extra partition
+  *    adds scheduling + shuffle-segment overhead to ALL stages. The
+  *    r8 OOM was the heap's fault, not the width's.
+  *
+  * So: shuffle width = cores (the cluster analog local[32] is meant
+  * to model — on a real cluster you size partitions to ~2-3x total
+  * cores and let AQE coalesce), and the heap scales with the input
+  * (`run_bench.sh`). `SPARK_GRAFT_SHUFFLE` still overrides for
+  * experiments; the probes above are reproducible with it.
   */
 object Tuning {
-  /** Recursive on-disk size of a data directory (bytes). */
+  /** Recursive on-disk size of a data directory (bytes). Kept for
+    * callers that size OTHER knobs from the input (heap tiers, spill
+    * thresholds in tools).
+    */
   def dirBytes(dir: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
@@ -20,23 +39,10 @@ object Tuning {
     walk(new java.io.File(dir))
   }
 
-  /** Input-scaled shuffle partition count: one partition per ~8 MB of
-    * compressed input (parquet expands ~5-10x into shuffle rows, so
-    * this keeps per-task state tens-of-MB), never below the core count
-    * (full parallelism on small inputs — and identical to the historic
-    * `partitions = cores` default for every SF up to sf1, keeping
-    * bench anchors comparable), rounded up to a power of two, capped
-    * at 2048 (past that, per-partition scheduling overhead dominates a
-    * single JVM). AQE coalesces the excess at runtime when a stage is
-    * smaller than the input suggests.
+  /** Shuffle partition count: the core count (see object doc for the
+    * round-10 measurement that reverted the round-9 data-scaling).
     */
-  def shufflePartitions(sfDir: String, cpus: Int): Int = {
-    val bytes = try dirBytes(sfDir) catch { case _: Throwable => 0L }
-    val fromData = (bytes / (8L << 20)) + 1
-    var p = 1
-    while (p < fromData && p < 2048) p *= 2
-    math.max(cpus, p)
-  }
+  def shufflePartitions(sfDir: String, cpus: Int): Int = cpus
 
   /** The env-overridable form both harness mains use. */
   def shuffleConf(sfDir: String, cpus: Int): String =

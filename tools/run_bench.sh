@@ -39,6 +39,7 @@ exec java \
   --add-opens java.base/sun.security.action=ALL-UNNAMED \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  ${GRAFT_JAVA_OPTS:-} \
   -Xmx${SPARK_DRIVER_MEM:-16g} \
   -XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing \
   -cp "${GRAFT_CP:-$ROOT/target/scala-2.13/classes}:/opt/spark/jars/*" \
