@@ -15,9 +15,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors()))
-    // Shuffle width = cores; the heap (not the width) scales with the
-    // input — see graft.Tuning's scaladoc for the round-10 paired
-    // probes that reverted the round-9 data-scaled width.
+    // Shuffle width: two-regime rule measured in round 10 — cores
+    // through sf10 (extra width is pure overhead while tasks fit
+    // execution memory), one partition per ~64 MB of input beyond the
+    // memory crossover (graft.Tuning's scaladoc has the probes).
     val shuffle = Tuning.shuffleConf(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -2,36 +2,35 @@ package graft
 
 /** Session-bootstrap sizing for the local harness.
   *
-  * History, because this setting has flipped on measurement twice:
+  * Shuffle width follows a TWO-REGIME rule, measured at both ends in
+  * round 10 with fresh-JVM paired probes:
   *
-  *  - Round 8: q363's 1.2B-row candidate aggregation OOM'd a 48 GB
-  *    heap at 32 shuffle partitions; hand-setting 256 partitions plus
-  *    an 80 GB heap completed it, and round 9 automated BOTH (width
-  *    from input bytes here, heap from the SF dir in
-  *    `tools/run_bench.sh`).
-  *  - Round 10's paired same-host protocol separated the two factors:
-  *    with the 80 GB heap in place, the data-scaled WIDTH is a pure
-  *    penalty on this box. Isolated sf10 probes (fresh JVM each):
-  *    q408 10.4 s at 32 partitions vs 56.8 s at 256 vs 83.5 s at
-  *    1024; q363 900 s at 32 vs 964 s at 256; q368 confirms the same
-  *    direction. Event logs show why: the big aggregation spills
-  *    ~110-130 GB regardless of width (execution memory is shared by
-  *    the same 32 worker threads, so per-task width slicing does not
-  *    change the total in-flight state), while every extra partition
-  *    adds scheduling + shuffle-segment overhead to ALL stages. The
-  *    r8 OOM was the heap's fault, not the width's.
+  *  - **No-spill regime** (per-task working set fits the execution-
+  *    memory slice): width = cores wins. sf10 (1.6 GB input, 80 GB
+  *    heap): q408 10.4 s at 32 partitions vs 56.8 s at 256 vs 83.5 s
+  *    at 1024 — every extra partition is pure scheduling + shuffle-
+  *    segment overhead; even the spill-bound giants are width-neutral
+  *    there (q363 900 s at 32 vs 964 s at 256; execution memory is
+  *    shared by the same worker threads either way).
+  *  - **Spill regime** (working set outgrows execution memory): wider
+  *    tasks pull per-task sorts/aggregations back under the memory
+  *    slice and win big. sf100 (16 GB input, same heap): q408 673.9 s
+  *    at 32 partitions vs 231.6 s at 256 — 2.9×.
   *
-  * So: shuffle width = cores (the cluster analog local[32] is meant
-  * to model — on a real cluster you size partitions to ~2-3x total
-  * cores and let AQE coalesce), and the heap scales with the input
-  * (`run_bench.sh`). `SPARK_GRAFT_SHUFFLE` still overrides for
-  * experiments; the probes above are reproducible with it.
+  * The crossover is where per-task state meets the per-task execution
+  * slice (~80 g × 0.6 / 32 ≈ 1.5 GB here): one partition per ~64 MB of
+  * compressed input keeps the post-expansion (~5-10×) task share
+  * inside it. That lands exactly on the measured winners: cores
+  * through sf10, 256 at sf100. History: round 8 hand-set 256 at sf10
+  * to fix an OOM that was really the 48 GB heap's fault; round 9
+  * automated that width; round 10's probes showed it was premature at
+  * sf10 once the heap scaled, but correct a decade later. On a real
+  * cluster AQE + coalescePartitions does this from runtime statistics;
+  * a local[N] harness derives it from bytes on disk.
+  * `SPARK_GRAFT_SHUFFLE` always overrides.
   */
 object Tuning {
-  /** Recursive on-disk size of a data directory (bytes). Kept for
-    * callers that size OTHER knobs from the input (heap tiers, spill
-    * thresholds in tools).
-    */
+  /** Recursive on-disk size of a data directory (bytes). */
   def dirBytes(dir: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
@@ -39,10 +38,20 @@ object Tuning {
     walk(new java.io.File(dir))
   }
 
-  /** Shuffle partition count: the core count (see object doc for the
-    * round-10 measurement that reverted the round-9 data-scaling).
+  /** Input-scaled shuffle width: one partition per ~64 MB of compressed
+    * input (see object doc for the measured two-regime rationale),
+    * never below the core count, rounded up to a power of two, capped
+    * at 2048. Identical to `cpus` for every harness SF up to and
+    * including sf10 — the width only grows once the input outgrows the
+    * box's execution memory.
     */
-  def shufflePartitions(sfDir: String, cpus: Int): Int = cpus
+  def shufflePartitions(sfDir: String, cpus: Int): Int = {
+    val bytes = try dirBytes(sfDir) catch { case _: Throwable => 0L }
+    val fromData = bytes / (64L << 20) + 1
+    var p = 1
+    while (p < fromData && p < 2048) p *= 2
+    math.max(cpus, p)
+  }
 
   /** The env-overridable form both harness mains use. */
   def shuffleConf(sfDir: String, cpus: Int): String =
