@@ -21,7 +21,7 @@ class TuningSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     // past the crossover the width scales: 16 GB -> 256
     val sf100 = new java.io.File("/tmp/graft_sf100")
-    if (sf100.isDirectory && Tuning.dirBytes(sf100.getPath) > 10L << 30) {
+    if (sf100.isDirectory && Tuning.dirBytes(sf100.getPath) > (10L << 30)) {
       assert(Tuning.shufflePartitions(sf100.getPath, 32) == 256)
     }
     // the formula itself, independent of what's on disk: bytes/64MB,
