@@ -127,6 +127,65 @@ object Similarity {
       .drop("__cos_r")
   }
 
+  /** Sign bits of components `lo..hi` (1-based, inclusive) packed into
+    * one long — bit (j−lo) set iff component j ≥ 0. Window is ≤ 32 bits
+    * so the shift constant stays positive in both engines (the DuckDB
+    * oracle mirrors with `1::BIGINT << (j-lo)`).
+    */
+  private def packSignBits(v: org.apache.spark.sql.Column, lo: Int, hi: Int) = {
+    require(hi - lo < 32, s"pack window must be < 32 bits, got [$lo,$hi]")
+    (lo to hi).map { j =>
+      when(element_at(v, j) >= 0, lit(1L << (j - lo))).otherwise(lit(0L))
+    }.reduceLeft(_.bitwiseOR(_))
+  }
+
+  /** 1-bit (sign) quantized top-k with exact rerank — the binary-
+    * quantization serving pattern: each vector is compressed to one sign
+    * bit per component (dim=64 → two 32-bit words, a 32× compression of
+    * float32), the candidate stage ranks the full corpus by sign-overlap
+    * similarity dim − 2·hamming — two XOR+popcount words per pair
+    * instead of a dim-multiply float dot — and only the
+    * `candidates`-deep shortlist pays the exact float cosine.
+    *
+    * Same shuffle shape as [[bruteForceTopK]] (one corpus scan ×
+    * broadcast queries, per-query top-k through the native TopK
+    * operator), but the per-pair candidate cost is constant in dim/64
+    * words: at 100 TB the packed corpus is the only thing the candidate
+    * scan reads (2×8 bytes + id per row), and the float vectors are
+    * fetched for candidates·|q| rows only.
+    *
+    * Determinism: hamming similarity is integer-valued with an id
+    * tie-break; the rerank key rounds cosine to 9 dp with an id
+    * tie-break — both cutoffs reproduce in any engine/partitioning.
+    */
+  def signBitTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidates: Int,
+      dim: Int = 64): DataFrame = {
+    require(dim == 64, s"signBitTopK packs exactly two 32-bit words, got dim=$dim")
+    ensureFunctions(corpus)
+    val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n"))
+      .withColumn("lo_n", packSignBits(col("e_n"), 1, 32))
+      .withColumn("hi_n", packSignBits(col("e_n"), 33, 64))
+      .withColumn("nrm_n", normSqNative(col("e_n")))
+    val q = queries.select(col(idCol).as("qid"), asDouble(vecCol, dim).as("e_q"))
+      .withColumn("lo_q", packSignBits(col("e_q"), 1, 32))
+      .withColumn("hi_q", packSignBits(col("e_q"), 33, 64))
+      .withColumn("nrm_q", normSqNative(col("e_q")))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("ham_sim",
+        lit(dim) - lit(2) * (bit_count(col("lo_q").bitwiseXOR(col("lo_n"))) +
+          bit_count(col("hi_q").bitwiseXOR(col("hi_n")))))
+    val shortlist = TopK.perGroup(scored, Seq("qid"),
+      Seq(("ham_sim", true), ("nid", false)), candidates)
+    val reranked = shortlist
+      .select(col("qid"), col("nid"), col("ham_sim"),
+        (dotNative(col("e_q"), col("e_n")) /
+          sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
+      .withColumn("__cos_r", round(col("cos"), 9))
+    TopK.perGroup(reranked, Seq("qid"), Seq(("__cos_r", true), ("nid", false)), k)
+      .drop("__cos_r")
+  }
+
   /** ±1 hyperplane components, precomputed driver-side with the same
     * cross-engine md5 formula the oracle uses: component j of plane p is
     * +1 iff bit 0 of the 60-bit md5 hash of "p,j" is 1 (j is 1-based).

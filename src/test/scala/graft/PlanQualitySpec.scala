@@ -817,4 +817,46 @@ class PlanQualitySpec extends SparkSpec {
       assert(l.contains("g#"), s"selection-rate window must partition by group: $l")
     }
   }
+
+  test("q428 binary quant: queries broadcast, both top-k stages are native TopKPerGroup") {
+    val p = plan("q428_binary_quant_recall")
+    assert(p.contains("BroadcastExchange"),
+      s"the bounded query set must broadcast against the corpus scan:\n$p")
+    // exact baseline + candidate stage + rerank = >= 3 native top-k
+    // operators; a Window fallback here would sort the full q x n product
+    val topks = p.linesIterator.count(_.contains("TopKPerGroup"))
+    assert(topks >= 3, s"expected >= 3 native TopKPerGroup operators, got $topks:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no shuffled products:\n$p")
+  }
+
+  test("q430 successive halving: budget slice is native TopKPerGroup, not a corpus window") {
+    val p = plan("q430_successive_halving")
+    assert(p.contains("TopKPerGroup"),
+      s"first-200-per-arm must run through the bounded-heap operator:\n$p")
+    // the only Window operators allowed are the rank cascades over the
+    // bounded 16-row arm frame (they sit above the per-arm aggregate)
+    assert(p.contains("partial_"), s"per-arm budget means must aggregate map-side:\n$p")
+  }
+
+  test("q425 template dedup: top-20 is a bounded TakeOrdered over the hash aggregate") {
+    val p = plan("q425_template_dedup")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a bounded top-k, not a global sort:\n$p")
+    assert(p.contains("partial_"),
+      s"template groups must aggregate map-side first:\n$p")
+  }
+
+  test("q426 RLE advisor: every run-count window partitions by month") {
+    val p = plan("q426_sort_rle_advisor")
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("m#"), s"run-count window must partition by month: $l")
+    }
+    assert(p.contains("partial_"), s"run flags must aggregate map-side:\n$p")
+  }
+
+  test("q424 IV 2SLS: one keyed moment pass, no product joins") {
+    val p = plan("q424_iv_2sls")
+    assert(p.contains("partial_"), s"moment sums must aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no shuffled products:\n$p")
+  }
 }
