@@ -42,6 +42,71 @@ object Layout {
     }.reduceLeft(_ + _)
   }
 
+  /** Hilbert-curve index of two non-negative integer columns over a
+    * 2^order × 2^order grid — the locality-preserving alternative to
+    * [[zValue]]: the Hilbert curve has no Z-curve "jumps" (consecutive
+    * indexes are always grid neighbors), so equal-size index ranges
+    * have strictly tighter bounding boxes — smaller zonemaps per file
+    * for the same file count (q434 measures the difference). Standard
+    * xy→d transform (Hamilton's iterative form): `order` unrolled
+    * rounds of quadrant selection + reflection/transposition, pure
+    * integer column algebra — codegen'd, scan-parallel.
+    *
+    * [[hilbertSqlCtes]] generates the SAME unrolled rounds as SQL CTE
+    * stages from this one loop's constants, so the engine and the
+    * DuckDB oracle cannot drift (the house generated-ladder
+    * convention); `HilbertSpec` additionally pins both against a plain
+    * Scala reference and the neighbor-step property.
+    */
+  def hilbertValue(xCol: Column, yCol: Column, order: Int): Column = {
+    require(order >= 1 && 2 * order <= 62, s"need 1 <= order <= 31, got $order")
+    var x = xCol.cast("long")
+    var y = yCol.cast("long")
+    var d: Column = lit(0L)
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = when(x.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(y.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      // if ry == 0: reflect when rx == 1 (x,y -> s-1-x, s-1-y), then
+      // transpose (swap x,y); identity otherwise
+      val nx = when(ry === 0, when(rx === 1, lit(s - 1) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0, when(rx === 1, lit(s - 1) - x).otherwise(x)).otherwise(y)
+      x = nx
+      y = ny
+      s >>= 1
+    }
+    d
+  }
+
+  /** The oracle mirror of [[hilbertValue]]: emits `order` chained CTE
+    * stages `<prefix>0 .. <prefix><order>` computing the identical
+    * rounds in SQL, with stage-numbered column names (x0/y0/d0 …) so
+    * no lateral-alias ambiguity can bind a reference to the wrong
+    * stage. The final stage exposes `keepCols` plus `hd` (the Hilbert
+    * index). Generated from the same per-round constants as the Column
+    * form.
+    */
+  def hilbertSqlCtes(src: String, xExpr: String, yExpr: String, order: Int,
+      keepCols: Seq[String], prefix: String = "h"): String = {
+    val keep = keepCols.mkString(", ")
+    val head = s"${prefix}0 AS (SELECT $keep, CAST($xExpr AS BIGINT) AS x0, " +
+      s"CAST($yExpr AS BIGINT) AS y0, CAST(0 AS BIGINT) AS d0 FROM $src)"
+    val rounds = (0 until order).map { i =>
+      val s = 1L << (order - 1 - i)
+      val (xi, yi, di) = (s"x$i", s"y$i", s"d$i")
+      val rx = s"(CASE WHEN ($xi & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN ($yi & $s) > 0 THEN 1 ELSE 0 END)"
+      s"$prefix${i + 1} AS (SELECT $keep, " +
+        s"CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN ${s - 1} - $yi ELSE $yi END ELSE $xi END AS x${i + 1}, " +
+        s"CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN ${s - 1} - $xi ELSE $xi END ELSE $yi END AS y${i + 1}, " +
+        s"$di + ${s * s} * xor(3 * $rx, $ry) AS d${i + 1} FROM $prefix$i)"
+    }
+    val last = s"$prefix$order"
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s",\n${prefix}out AS (SELECT $keep, d$order AS hd FROM $last)"
+  }
+
   /** Rewrite `df` clustered along the z-curve of `keyCols`:
     * range-partition on the z-value (equal-size output files via
     * sampled range bounds), sort within partitions, drop the helper

@@ -859,4 +859,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_"), s"moment sums must aggregate map-side:\n$p")
     assert(!p.contains("CartesianProduct"), s"no shuffled products:\n$p")
   }
+
+  test("q434 Hilbert layout: file ranks are range-bucketed windows, never single-task") {
+    val p = plan("q434_hilbert_layout")
+    // equal-count cuts rank by curve index through Ranking.globalRank:
+    // every window must be __bkt-keyed (the distributed rank machinery)
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("__bkt#"), s"rank window must partition by range bucket: $l")
+    }
+    assert(p.contains("partial_"), s"bucket spans must aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row count must broadcast, never a shuffled product:\n$p")
+  }
+
+  test("q433 local-DP: randomized response is per-row expression work, aggregates keyed") {
+    val p = plan("q433_local_dp_freq")
+    assert(p.contains("partial_"), s"frequency counts must aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, never a shuffled product:\n$p")
+  }
+
+  test("q432 RMST: risk sets from the broadcast day list, windows cohort-keyed") {
+    val p = plan("q432_rmst")
+    assert(p.contains("BroadcastExchange"), s"event-day list must broadcast:\n$p")
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("x#"), s"survival windows must partition by cohort: $l")
+    }
+  }
 }
