@@ -23,6 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.DotExpr].getName, "graft_dot"),
       (exprs: Seq[Expression]) => graft.functions.DotExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[graft.functions.HilbertExpr].getName, "graft_hilbert"),
+      (exprs: Seq[Expression]) => graft.functions.HilbertExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs.head, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs(1), org.apache.spark.sql.types.LongType),
+        exprs(2).eval().asInstanceOf[Int])))
     // automatic range-join binning, opt-in via
     // spark.graft.rangeJoin.binWidth (see plans.RangeBinJoinRule)
     ext.injectOptimizerRule(graft.plans.RangeBinJoinRule)

@@ -60,6 +60,19 @@ object Layout {
     */
   def hilbertValue(xCol: Column, yCol: Column, order: Int): Column = {
     require(order >= 1 && 2 * order <= 62, s"need 1 <= order <= 31, got $order")
+    // native codegen'd loop (graft.functions.HilbertExpr) — the pure
+    // column-algebra unroll triples per round (~3^order nodes: q434
+    // measured 150 s/run at sf0.1 unrolled vs sub-second native);
+    // callers must have graft functions registered in the session
+    call_function("graft_hilbert", xCol.cast("long"), yCol.cast("long"), lit(order))
+  }
+
+  /** The column-algebra unroll of [[hilbertValue]] — kept ONLY as the
+    * independent implementation the HilbertSpec law checks the native
+    * expression against (exponential tree: never use past order ~5).
+    */
+  private[graft] def hilbertValueUnrolled(xCol: Column, yCol: Column,
+      order: Int): Column = {
     var x = xCol.cast("long")
     var y = yCol.cast("long")
     var d: Column = lit(0L)

@@ -199,6 +199,7 @@ object Curation56 {
     * never a single-task window).
     */
   private val q434HilbertLayout: Q = (s, d) => {
+    graft.functions.GraftRegistry.register(s) // graft_hilbert must resolve
     val li = Tables.lineitem(s, d).select(
       pmod(col("l_partkey"), lit(256)).as("xx"),
       pmod(col("l_suppkey"), lit(256)).as("yy"),

@@ -29,15 +29,19 @@ class HilbertSpec extends SparkSpec {
     d
   }
 
-  test("hilbertValue matches the scalar reference on the full order-4 grid, bijectively") {
+  test("native hilbertValue matches the scalar reference AND the column unroll, bijectively") {
     import spark.implicits._
     val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
     val got = pts.toDF("x", "y")
-      .select(col("x"), col("y"), Layout.hilbertValue(col("x"), col("y"), 4).as("d"))
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), 4).as("d"),
+        Layout.hilbertValueUnrolled(col("x"), col("y"), 4).as("du"))
       .collect()
     got.foreach { r =>
       assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1), 4),
-        s"(${r.getLong(0)},${r.getLong(1)}): got ${r.getLong(2)}")
+        s"native vs scalar at (${r.getLong(0)},${r.getLong(1)}): got ${r.getLong(2)}")
+      assert(r.getLong(3) == r.getLong(2),
+        s"unrolled vs native at (${r.getLong(0)},${r.getLong(1)})")
     }
     assert(got.map(_.getLong(2)).toSet == (0L until 256L).toSet, "not a bijection")
   }

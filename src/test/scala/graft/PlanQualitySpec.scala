@@ -879,6 +879,29 @@ class PlanQualitySpec extends SparkSpec {
       s"the 1-row total must broadcast, never a shuffled product:\n$p")
   }
 
+  test("q437 IVF probe curve: centroids broadcast, every top-k is the native operator") {
+    val p = plan("q437_ivf_probe_curve")
+    assert(p.contains("BroadcastExchange"),
+      s"the centroid frame must broadcast to the probe stage:\n$p")
+    assert(p.linesIterator.count(_.contains("TopKPerGroup")) >= 1,
+      s"final rankings must run through the native top-k operator:\n$p")
+  }
+
+  test("q438 spec-decode acceptance: LM counts are keyed joins, totals broadcast") {
+    val p = plan("q438_spec_decode_acceptance")
+    assert(p.contains("partial_"), s"count tables must aggregate map-side:\n$p")
+    assert(p.contains("BroadcastExchange"), s"the 1-row totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no shuffled products:\n$p")
+  }
+
+  test("q439 leakage audit: as-of features from user-keyed running windows") {
+    val p = plan("q439_feature_leakage_audit")
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("user_id#"), s"running feature window must be user-keyed: $l")
+    }
+    assert(p.contains("partial_"), s"cohort aggregate must be map-side first:\n$p")
+  }
+
   test("q432 RMST: risk sets from the broadcast day list, windows cohort-keyed") {
     val p = plan("q432_rmst")
     assert(p.contains("BroadcastExchange"), s"event-day list must broadcast:\n$p")
