@@ -902,6 +902,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_"), s"cohort aggregate must be map-side first:\n$p")
   }
 
+  test("q440 watermark detector is map-side: no explode, one data shuffle + the sort") {
+    val p = plan("q440_watermark_greenlist")
+    assert(!p.contains("Generate"),
+      s"the green count must be an array-local filter, never an explode:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      s"detector work is per-row; only the source agg + output sort may shuffle:\n$p")
+  }
+
+  test("q441 Naive Bayes: class model broadcasts, scoring never goes cartesian") {
+    val p = plan("q441_naive_bayes_langid")
+    assert(p.contains("BroadcastExchange"),
+      s"the bounded class-model frame must broadcast into scoring:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"doc-side scoring must stay keyed/broadcast, never a shuffled product:\n$p")
+  }
+
+  test("q442 GRPO advantage: group moments are one keyed map-side aggregate, no window") {
+    val p = plan("q442_grpo_advantage")
+    assert(p.contains("partial_"), s"group moments must aggregate map-side:\n$p")
+    assert(!p.linesIterator.exists(_.trim.startsWith("Window")),
+      s"the moment join-back replaces a per-row window pass:\n$p")
+  }
+
+  test("q443 prototype pruning: centroid model broadcasts, rank windows label-keyed") {
+    val p = plan("q443_prototype_pruning")
+    assert(p.contains("BroadcastExchange"),
+      s"the <=|labels|-row centroid frame must broadcast:\n$p")
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("label#"), s"rank window must be label-keyed: $l")
+    }
+  }
+
+  test("q444 crawl novelty: shingle work aggregates map-side, no cartesian") {
+    val p = plan("q444_crawl_novelty")
+    assert(p.contains("partial_"), s"shingle counts must aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"day rollup is keyed:\n$p")
+  }
+
   test("q432 RMST: risk sets from the broadcast day list, windows cohort-keyed") {
     val p = plan("q432_rmst")
     assert(p.contains("BroadcastExchange"), s"event-day list must broadcast:\n$p")
