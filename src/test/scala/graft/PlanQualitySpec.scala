@@ -940,6 +940,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"day rollup is keyed:\n$p")
   }
 
+  test("q445 UCB1 audit: corpus folds in one map-side aggregate; grid work bounded") {
+    val p = plan("q445_ucb1_audit")
+    assert(p.contains("partial_"), s"the (day, arm) cells must aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"grid joins stay keyed:\n$p")
+  }
+
+  test("q446 AIPW: propensity/outcome models broadcast back to the rows") {
+    val p = plan("q446_aipw_ate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded per-bucket model frames must broadcast:\n$p")
+    assert(p.contains("partial_"), s"estimator sums must aggregate map-side:\n$p")
+  }
+
+  test("q447 ALS step: normal equations are one user-keyed aggregate, no window") {
+    val p = plan("q447_als_step")
+    assert(p.contains("partial_"), s"per-user moments must aggregate map-side:\n$p")
+    assert(!p.linesIterator.exists(_.trim.startsWith("Window")),
+      s"the closed-form solve is row-local, never a window pass:\n$p")
+  }
+
+  test("q448 clustered DiD: cell means broadcast, user influence is one keyed aggregate") {
+    val p = plan("q448_did_cluster")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 4-row cell-mean frame must broadcast:\n$p")
+    assert(p.contains("partial_"), s"user influence sums must aggregate map-side:\n$p")
+  }
+
+  test("q449 mSPRT: look cells aggregate map-side before the bounded grid") {
+    val p = plan("q449_msprt")
+    assert(p.contains("partial_"), s"(look, arm) cells must aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"look rollup is keyed:\n$p")
+  }
+
+  test("q450 RANSAC: candidate lines broadcast into inlier scoring") {
+    val p = plan("q450_ransac")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the <=8-row candidate frame must broadcast, never shuffle the points:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no shuffled products:\n$p")
+  }
+
   test("q432 RMST: risk sets from the broadcast day list, windows cohort-keyed") {
     val p = plan("q432_rmst")
     assert(p.contains("BroadcastExchange"), s"event-day list must broadcast:\n$p")
