@@ -107,6 +107,41 @@ object Similarity {
     }.otherwise(cap)
   }
 
+  /** Smallest modulus m = min·2^k with n ≤ m·target — sampling every
+    * m-th id yields a query/probe set of AT MOST ~target rows no
+    * matter how big the corpus grows. A corpus-FIXED query modulus
+    * makes |Q| linear in n and any exact |Q|×n audit baseline
+    * QUADRATIC: the round-11 paired decade measured q437 at 524 s /
+    * 89.5× under `% 25` at sf10; this ladder pins the audit sample to
+    * ≈`target` and restores the linear contract. Same generated-ladder
+    * discipline as [[sqrtModulus]]: engine value and DuckDB CASE text
+    * come from the same (min, target, cap) so they cannot drift. Past
+    * `cap` (n > cap·target, ≈6.9e9 at the defaults) the sample grows
+    * again — the documented contract is to shard first, as with the
+    * IVF layer itself.
+    */
+  val FixedCountModulusCap = 26214400L // 25 * 2^20
+
+  def fixedCountModulus(n: Long, target: Long = 256L, min: Long = 25L,
+      cap: Long = FixedCountModulusCap): Long = {
+    require(min >= 1 && min <= cap && target >= 1,
+      s"fixedCountModulus needs 1 <= min <= cap and target >= 1, got min=$min cap=$cap target=$target")
+    var m = min
+    while (n > m * target && m < cap) m *= 2
+    m
+  }
+
+  /** DuckDB CASE-ladder mirror of [[fixedCountModulus]]. */
+  def fixedCountModulusLadderSql(countExpr: String, target: Long = 256L,
+      min: Long = 25L, cap: Long = FixedCountModulusCap): String = {
+    require(min >= 1 && min <= cap && target >= 1,
+      s"ladder needs 1 <= min <= cap and target >= 1, got min=$min cap=$cap target=$target")
+    val rungs = Iterator.iterate(min)(_ * 2).takeWhile(_ < cap).toSeq
+    if (rungs.isEmpty) return cap.toString
+    val whens = rungs.map(m => s"WHEN $countExpr <= ${m * target} THEN $m").mkString(" ")
+    s"CASE $whens ELSE $cap END"
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
     ensureFunctions(corpus)

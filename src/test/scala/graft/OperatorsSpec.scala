@@ -686,6 +686,26 @@ class OperatorsSpec extends SparkSpec {
       .foreach(n => assert(sqrtModulus(n, min = 8L) === oracle8(n), s"min=8 n=$n"))
   }
 
+  test("fixedCountModulus matches its oracle CASE ladder and caps the sample size") {
+    import graft.operators.Similarity.{fixedCountModulus, fixedCountModulusLadderSql, FixedCountModulusCap}
+    val sql = fixedCountModulusLadderSql("c")
+    val rung = """WHEN c <= (\d+) THEN (\d+)""".r
+    val ladder = rung.findAllMatchIn(sql)
+      .map(m => m.group(1).toLong -> m.group(2).toLong).toSeq
+    assert(ladder.nonEmpty && sql.endsWith(s"ELSE $FixedCountModulusCap END"))
+    def oracle(c: Long): Long =
+      ladder.find(c <= _._1).map(_._2).getOrElse(FixedCountModulusCap)
+    val probes = Seq(1L, 600L, 6000L, 60000L, 600000L, 6000000L) ++
+      ladder.flatMap { case (t, _) => Seq(t - 1, t, t + 1) } ++
+      Seq(FixedCountModulusCap * 256, FixedCountModulusCap * 256 + 1)
+    probes.foreach { n =>
+      val m = fixedCountModulus(n)
+      assert(m === oracle(n), s"n=$n")
+      // the contract: the sample n/m stays <= target until the cap rung
+      assert(n / m <= 256 || m == FixedCountModulusCap, s"|Q| cap violated at n=$n")
+    }
+  }
+
   test("q318 sign-of-ROUNDED slope boundary: engine matches the oracle contract") {
     // Round-8 ADVICE adjudication: the advice claimed the DuckDB oracle
     // takes sign() of the UNROUNDED slope while the engine signs the
