@@ -142,6 +142,31 @@ object Similarity {
     s"CASE $whens ELSE $cap END"
   }
 
+  /** Filter-then-rank exact top-k: neighbors constrained to share the
+    * query's `filterCol` value. The constraint rides IN the join
+    * condition — cost is Σ_v |Q_v|·|C_v| over filter values, never the
+    * global |Q|·|C| product a post-hoc filter would pay. Ground truth
+    * for filtered-retrieval audits (q456).
+    */
+  def bruteForceTopKFiltered(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, filterCol: String, k: Int,
+      dim: Int = 64): DataFrame = {
+    ensureFunctions(corpus)
+    val c = corpus.select(col(idCol).as("nid"), col(filterCol).as("nf"),
+        asDouble(vecCol, dim).as("e_n"))
+      .withColumn("nrm_n", normSqNative(col("e_n")))
+    val q = queries.select(col(idCol).as("qid"), col(filterCol).as("qf"),
+        asDouble(vecCol, dim).as("e_q"))
+      .withColumn("nrm_q", normSqNative(col("e_q")))
+    val sims = c.join(broadcast(q), col("qf") === col("nf") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotNative(col("e_q"), col("e_n")) /
+          sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
+      .withColumn("__cos_r", round(col("cos"), 9))
+    TopK.perGroup(sims, Seq("qid"), Seq(("__cos_r", true), ("nid", false)), k)
+      .drop("__cos_r")
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
     ensureFunctions(corpus)

@@ -130,6 +130,52 @@ object StreamingOps {
         })
   }
 
+  case class BucketState(tokens: Long, lastUs: Long)
+  case class BucketOut(user_id: Long, n_adm: Long, n_den: Long)
+
+  /** Per-key token-bucket admission over an event stream — the
+    * streaming quota/rate-limit primitive: each key holds an integer
+    * bucket of `capacity` tokens refilled one per `periodUs`
+    * microseconds of event time; an event is admitted iff a token is
+    * available. Integer-exact refill bookkeeping (whole periods only,
+    * remainder time carried in the anchor; a CLAMPED bucket re-anchors
+    * at the event so overflow time is discarded — the classic
+    * formulation) makes the recurrence bit-reproducible, so a batch
+    * recursive-CTE oracle can replay it. Emits one (key, admitted,
+    * denied) row per key per micro-batch (Update mode); state is the
+    * 2-long bucket per key, the whole point — O(|keys|), not O(events).
+    * Batch iterators are sorted by (event time, id) before folding;
+    * cross-batch order comes from the source's file ordering.
+    */
+  def tokenBucket(events: DataFrame, capacity: Long, periodUs: Long): Dataset[BucketOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts", "event_id")
+      .as[(Long, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Timestamp, Long)],
+         state: GroupState[BucketState]) => {
+          var st = state.getOption.getOrElse(BucketState(capacity, 0L))
+          var adm = 0L
+          var den = 0L
+          // full microsecond epoch (getTime alone floors to ms and the
+          // oracle replays at epoch_us precision)
+          def usOf(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          rows.toSeq.sortBy(r => (usOf(r._2), r._3)).foreach { r =>
+            val us = usOf(r._2)
+            val periods = if (us > st.lastUs) (us - st.lastUs) / periodUs else 0L
+            val filled = math.min(capacity, st.tokens + periods)
+            val anchor = if (filled == capacity) us else st.lastUs + periods * periodUs
+            if (filled >= 1) { adm += 1; st = BucketState(filled - 1, anchor) }
+            else { den += 1; st = BucketState(filled, anchor) }
+          }
+          state.update(st)
+          Iterator.single(BucketOut(userId, adm, den))
+        })
+  }
+
   /** transformWithState (Spark 4's arbitrary-state API, RocksDB-backed):
     * running per-user maximum value. ValueState replaces the whole-state
     * GroupState blob — at scale each key's state lives in the RocksDB

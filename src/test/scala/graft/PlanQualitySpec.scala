@@ -980,6 +980,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no shuffled products:\n$p")
   }
 
+  test("q451 newsvendor: part dim broadcasts, demand windows brand-keyed") {
+    val p = plan("q451_newsvendor")
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("brand#"), s"rank window must be brand-keyed: $l")
+    }
+  }
+
+  test("q452 contract audit: referential checks are anti joins, never products") {
+    val p = plan("q452_contract_audit")
+    assert(p.contains("LeftAnti"), s"orphan checks must be anti joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no shuffled products:\n$p")
+  }
+
+  test("q453 variance decomposition: corpus folds map-side into the bounded grid") {
+    val p = plan("q453_variance_decomp")
+    assert(p.contains("partial_"), s"cell moments must aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row margin frames must broadcast, never a shuffled product:\n$p")
+  }
+
   test("q432 RMST: risk sets from the broadcast day list, windows cohort-keyed") {
     val p = plan("q432_rmst")
     assert(p.contains("BroadcastExchange"), s"event-day list must broadcast:\n$p")

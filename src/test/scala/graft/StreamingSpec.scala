@@ -106,6 +106,35 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(8L) == ((1L, 10.0)))
   }
 
+  test("token bucket: state survives the batch boundary, refills whole periods only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-0$day%d $hour%02d:00:00")
+    val input = MemoryStream[Ev]
+    // capacity 3, refill 1 token / 2 days (the q454 constants)
+    val q = StreamingOps.tokenBucket(input.toDF(), 3L, 172800000000L)
+      .toDF().writeStream.format("memory").queryName("bucket")
+      .outputMode("update").start()
+    // batch 1: four bursts within 3 hours — 3 admits drain the bucket,
+    // the 4th denies
+    input.addData(Ev(1, at(1, 10), 7, "c", 0), Ev(2, at(1, 11), 7, "c", 0),
+      Ev(3, at(1, 12), 7, "c", 0), Ev(4, at(1, 13), 7, "c", 0))
+    q.processAllAvailable()
+    // batch 2: one more burst an hour later must STILL deny (a
+    // state-losing engine restarts the bucket full and admits), then a
+    // 5-day gap refills floor(5d/2d) = 2 tokens and admits
+    input.addData(Ev(5, at(1, 14), 7, "c", 0), Ev(6, at(6, 14), 7, "c", 0))
+    q.processAllAvailable()
+    val tot = spark.table("bucket").groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum("n_adm").as("a"),
+        org.apache.spark.sql.functions.sum("n_den").as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    q.stop()
+    assert(tot(7L) == ((4L, 2L)),
+      s"expected (4 admits, 2 denies) incl. the cross-batch deny, got ${tot(7L)}")
+  }
+
   test("file-source stream + foreachBatch sink: dedup over the events parquet") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val stream = StreamingOps.readEventStream(spark, "/root/testdata/sf0.001")
