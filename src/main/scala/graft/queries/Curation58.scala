@@ -83,14 +83,24 @@ object Curation58 {
         round(log((col("nd") + 1).cast(DoubleType) /
           (col("n_train") + col("n_cls"))), 9).cast(DecimalType(28, 9)).as("lprior")))
     val testTok = test.select(col("doc_id"), explode(col("w")).as("tok"))
-    val vocab = tokCounts.select("tok").distinct()
-    val iv = testTok.join(vocab, Seq("tok"), "left_semi")
-    val perDoc = iv.groupBy("doc_id").agg(count(lit(1)).as("t_iv"))
-    // sparse part: only (token, lang) pairs the train corpus observed
-    val s1 = iv.join(tokCounts, Seq("tok"))
-      .withColumn("lc", round(log(col("c") + 1), 9).cast(DecimalType(28, 9)))
+    // ONE token-keyed shuffle does all the scoring work: each vocab
+    // token carries its (lang, count) list, the inner join drops OOV
+    // occurrences (the old left_semi + second join + two separate
+    // aggregations shuffled the test tokens four times — the sf10
+    // paired decade measured 64 s / 20.6×), and the pos==0 flag lets
+    // the per-doc in-vocab count fold out of the same exploded frame
+    val tokModel = tokCounts.groupBy("tok")
+      .agg(collect_list(struct(col("lang"), col("c"))).as("langs"))
+    val exploded = testTok.join(tokModel, Seq("tok"))
+      .select(col("doc_id"), posexplode(col("langs")).as(Seq("pp", "lcs")))
+      .select(col("doc_id"), col("lcs.lang").as("lang"),
+        round(log(col("lcs.c") + 1), 9).cast(DecimalType(28, 9)).as("lc"),
+        when(col("pp") === 0, 1L).otherwise(0L).as("first"))
+    val s1 = exploded
       .groupBy(col("doc_id").as("sdoc"), col("lang").as("slang"))
-      .agg(sum(col("lc")).as("s1"))
+      .agg(sum(col("lc")).as("s1"), sum(col("first")).as("n0"))
+    val perDoc = s1.groupBy(col("sdoc").as("doc_id"))
+      .agg(sum(col("n0")).as("t_iv"))
     val zeroDec = lit(0).cast(DecimalType(38, 9))
     val scoresAll = perDoc.crossJoin(model)
       .join(s1, col("doc_id") === col("sdoc") && col("cl") === col("slang"), "left")

@@ -116,7 +116,11 @@ object Curation59 {
     val q2 = ((mdHash(lit("als2"), col("p")) % 1000 - 500)
       .cast(DecimalType(10, 0)) * lit(0.001).cast(DecimalType(4, 3)))
       .cast(DecimalType(10, 3))
-    val rq = ratings.withColumn("q1", q1).withColumn("q2", q2)
+    // persisted: the normal-equation branch AND the residual branch
+    // both consume rq — unpersisted, the 60M-row orders⋈lineitem join
+    // ran twice (the sf10 paired decade measured 225 s; the join is
+    // the whole cost)
+    val rq = ratings.withColumn("q1", q1).withColumn("q2", q2).persist()
     val lam = lit(0.1).cast(DecimalType(10, 6))
     // normal-equation entries re-narrowed to DECIMAL(12,6)/(12,3) after
     // the sums (values are bounded by the per-user basket, so this is
