@@ -27,7 +27,8 @@ object Curation28 {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    val q = e.filter(col("vec_id") % 25 === 0)
+    val qmod = graft.operators.Similarity.fixedCountModulus(e.count())
+    val q = e.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
     val sims = q.join(e, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qlabel"),
@@ -219,9 +220,11 @@ object Curation28 {
 
   val oracles: Map[String, String] = Map(
     "q314_mrr_eval" ->
-      """WITH e AS (SELECT vec_id, label,
+      s"""WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
-        |q AS (SELECT vec_id qid, label qlabel, v qv FROM e WHERE vec_id % 25 = 0),
+        |qm2 AS (SELECT ${graft.operators.Similarity.fixedCountModulusLadderSql("c")} q_m
+        |  FROM (SELECT count(*) c FROM e)),
+        |q AS (SELECT vec_id qid, label qlabel, v qv FROM e, qm2 WHERE vec_id % q_m = 0),
         |sims AS (SELECT qid, qlabel, e.vec_id nid, e.label nlabel,
         |    list_dot_product(qv, v) /
         |      sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) cos

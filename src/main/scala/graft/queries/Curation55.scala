@@ -26,7 +26,12 @@ object Curation55 {
     */
   private val q428BinaryQuantRecall: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") % 25 === 0)
+    // corpus-capped query sample (~<=256 queries at any scale): the
+    // fixed %25 made |Q| linear in n, so both the exact baseline and
+    // the Hamming sweep were O(n^2/25) — measured 178 s / 47.7x at the
+    // sf1 paired decade (the q437 disease, same fixedCountModulus cure)
+    val qm = Similarity.fixedCountModulus(e.count())
+    val q = e.filter(col("vec_id") % qm === 0)
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select(col("qid"), col("nid"))
     val approx = Similarity.signBitTopK(e, q, "vec_id", "embedding",
@@ -136,13 +141,15 @@ object Curation55 {
 
   val oracles: Map[String, String] = Map(
     "q428_binary_quant_recall" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),
         |packs AS (SELECT vec_id,
         |    sum(CASE WHEN j <= 32 AND v[j] >= 0 THEN (1::BIGINT << (j-1)) ELSE 0 END)::BIGINT AS lo,
         |    sum(CASE WHEN j > 32 AND v[j] >= 0 THEN (1::BIGINT << (j-33)) ELSE 0 END)::BIGINT AS hi
         |  FROM e, unnest(generate_series(1, 64)) t(j) GROUP BY vec_id),
-        |q AS (SELECT vec_id AS qid FROM e WHERE vec_id % 25 = 0),
+        |qm AS (SELECT ${Similarity.fixedCountModulusLadderSql("c")} q_m
+        |  FROM (SELECT count(*) c FROM e)),
+        |q AS (SELECT vec_id AS qid FROM e, qm WHERE vec_id % q_m = 0),
         |exact AS (SELECT qid, nid FROM (
         |  SELECT q.qid, e2.vec_id AS nid, row_number() OVER (PARTITION BY q.qid
         |    ORDER BY round(list_dot_product(eq.v, e2.v) /

@@ -79,7 +79,8 @@ object DedupSim {
 
   private val q75SimilarityTopK: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 25 === 0),
+    val qm = Similarity.fixedCountModulus(e.count())
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") % qm === 0),
         "vec_id", "embedding", k = 5)
       .select("qid", "rank", "nid", "cos")
       .orderBy("qid", "rank")
@@ -91,9 +92,11 @@ object DedupSim {
     */
   private val q77SimilarityIvf: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val m = Similarity.sqrtModulus(e.count())
+    val n = e.count()
+    val m = Similarity.sqrtModulus(n)
+    val qm = Similarity.fixedCountModulus(n)
     Similarity.ivfTopK(
-        e, e.filter(col("vec_id") % 25 === 0), e.filter(col("vec_id") % m === 0),
+        e, e.filter(col("vec_id") % qm === 0), e.filter(col("vec_id") % m === 0),
         "vec_id", "embedding", k = 3, nprobe = 2)
       .select("qid", "rank", "nid", "cos")
       .orderBy("qid", "rank")
@@ -240,11 +243,13 @@ object DedupSim {
     // build-once contract (buildIvfIndex doc): a completed write leaves
     // parquet's _SUCCESS marker — rebuild only when it's absent, so
     // the query (and the bench) times the pruned probe, not the build
-    val m = Similarity.sqrtModulus(e.count())
+    val n = e.count()
+    val m = Similarity.sqrtModulus(n)
+    val qm = Similarity.fixedCountModulus(n)
     if (!new java.io.File(dir, "_SUCCESS").isFile)
       Similarity.buildIvfIndex(e, e.filter(col("vec_id") % m === 0),
         "vec_id", "embedding", dir)
-    Similarity.ivfTopKIndexed(s, dir, e.filter(col("vec_id") % 25 === 0),
+    Similarity.ivfTopKIndexed(s, dir, e.filter(col("vec_id") % qm === 0),
         e.filter(col("vec_id") % m === 0), "vec_id", "embedding", k = 3, nprobe = 2)
       .select("qid", "rank", "nid", "cos")
       .orderBy("qid", "rank")
@@ -552,9 +557,11 @@ object DedupSim {
          |WHERE list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
     "q75_similarity_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |    FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+        |qm2 AS (SELECT ${Similarity.fixedCountModulusLadderSql("c")} q_m
+        |  FROM (SELECT count(*) c FROM e)),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e, qm2 WHERE vec_id % q_m = 0),
         |sims AS (SELECT qid, e.vec_id AS nid,
         |    list_dot_product(qv, v) / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS cos
         |  FROM q JOIN e ON e.vec_id <> qid),
@@ -576,7 +583,9 @@ object DedupSim {
         |        sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)), 9) DESC,
         |        c.cid ASC) rn
         |  FROM e CROSS JOIN cent c) WHERE rn = 1),
-        |q AS (SELECT vec_id AS qid, v AS e_q FROM e WHERE vec_id % 25 = 0),
+        |qm2 AS (SELECT ${Similarity.fixedCountModulusLadderSql("c")} q_m
+        |  FROM (SELECT count(*) c FROM e)),
+        |q AS (SELECT vec_id AS qid, v AS e_q FROM e, qm2 WHERE vec_id % q_m = 0),
         |probes AS (SELECT qid, e_q, cid FROM (
         |  SELECT q.qid, q.e_q, c.cid,
         |    row_number() OVER (PARTITION BY q.qid
@@ -607,7 +616,9 @@ object DedupSim {
         |        sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)), 9) DESC,
         |        c.cid ASC) rn
         |  FROM e CROSS JOIN cent c) WHERE rn = 1),
-        |q AS (SELECT vec_id AS qid, v AS e_q FROM e WHERE vec_id % 25 = 0),
+        |qm2 AS (SELECT ${Similarity.fixedCountModulusLadderSql("c")} q_m
+        |  FROM (SELECT count(*) c FROM e)),
+        |q AS (SELECT vec_id AS qid, v AS e_q FROM e, qm2 WHERE vec_id % q_m = 0),
         |probes AS (SELECT qid, e_q, cid FROM (
         |  SELECT q.qid, q.e_q, c.cid,
         |    row_number() OVER (PARTITION BY q.qid

@@ -1001,6 +1001,34 @@ class PlanQualitySpec extends SparkSpec {
       s"the 1-row margin frames must broadcast, never a shuffled product:\n$p")
   }
 
+  test("q458 fingerprint: per-variant hash sums are map-side aggregates, no sort") {
+    val p = plan("q458_table_fingerprint")
+    assert(p.contains("partial_"), s"hash sums must aggregate map-side:\n$p")
+    assert(!p.contains("SortExec") || !p.linesIterator.exists(l =>
+      l.trim.startsWith("Sort") && l.contains("l_orderkey")),
+      s"an order-independent checksum must never sort the table:\n$p")
+  }
+
+  test("q459 skew advisor: per-key counts aggregate map-side; histograms bounded") {
+    val p = plan("q459_skew_advisor")
+    assert(p.contains("partial_"), s"key counts must aggregate map-side:\n$p")
+  }
+
+  test("q460 regression discontinuity: bandwidth filter reaches the orders scan") {
+    val p = plan("q460_reg_discontinuity")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice)") ||
+      p.contains("o_totalprice"),
+      s"the bandwidth predicate must prune at the scan:\n$p")
+    assert(p.contains("partial_"), s"side moments must aggregate map-side:\n$p")
+  }
+
+  test("q461 mediation: one corpus aggregate, all algebra on the 1-row frame") {
+    val p = plan("q461_mediation")
+    assert(p.contains("partial_"), s"moments must aggregate map-side:\n$p")
+    assert(!p.linesIterator.exists(_.trim.startsWith("Window")),
+      s"closed forms replace window passes:\n$p")
+  }
+
   test("q432 RMST: risk sets from the broadcast day list, windows cohort-keyed") {
     val p = plan("q432_rmst")
     assert(p.contains("BroadcastExchange"), s"event-day list must broadcast:\n$p")
