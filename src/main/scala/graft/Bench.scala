@@ -20,7 +20,13 @@ object Bench {
     // execution memory), one partition per ~64 MB of input beyond the
     // memory crossover (graft.Tuning's scaladoc has the probes).
     val shuffle = Tuning.shuffleConf(sfDir, cpus.toInt)
-    val spark = SparkSession.builder()
+    // optional event-log capture for scale attribution (per-stage
+    // shuffle records + spill, the q363/q368 protocol):
+    // SPARK_GRAFT_EVENTLOG_DIR=/existing/dir enables it
+    val evLog = sys.env.get("SPARK_GRAFT_EVENTLOG_DIR")
+      .map(p => Map("spark.eventLog.enabled" -> "true", "spark.eventLog.dir" -> p))
+      .getOrElse(Map.empty[String, String])
+    val spark = evLog.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -31,6 +37,7 @@ object Bench {
       // operators (label propagation, k-means) persist tiny per-round
       // frames whose fixed 32-partition stages otherwise dominate
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     // bucketed-layout planner flags (sort-aware scans, no auto-disable)
     // — session-build-time opt-in, see Bucketing.sessionConfs

@@ -231,13 +231,21 @@ object Similarity {
       .withColumn("lo_q", packSignBits(col("e_q"), 1, 32))
       .withColumn("hi_q", packSignBits(col("e_q"), 33, 64))
       .withColumn("nrm_q", normSqNative(col("e_q")))
-    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("ham_sim",
-        lit(dim) - lit(2) * (bit_count(col("lo_q").bitwiseXOR(col("lo_n"))) +
-          bit_count(col("hi_q").bitwiseXOR(col("hi_n")))))
+    // the Hamming sweep ranks LIGHT (qid, nid, ham) rows only — carrying
+    // the two 64-double arrays through the |Q|×n product and the TopK
+    // heaps made every swept row ~1 KB (q428 measured 498 s at sf10 on
+    // 5e7 rows; the float arrays are only needed for the ≤|Q|·candidates
+    // rerank rows, re-joined below)
+    val scored = c.join(broadcast(q.select(col("qid"), col("lo_q"), col("hi_q"))),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (lit(dim) - lit(2) * (bit_count(col("lo_q").bitwiseXOR(col("lo_n"))) +
+          bit_count(col("hi_q").bitwiseXOR(col("hi_n"))))).as("ham_sim"))
     val shortlist = TopK.perGroup(scored, Seq("qid"),
       Seq(("ham_sim", true), ("nid", false)), candidates)
-    val reranked = shortlist
+    val reranked = c.select(col("nid"), col("e_n"), col("nrm_n"))
+      .join(broadcast(shortlist), Seq("nid"))
+      .join(broadcast(q.select(col("qid"), col("e_q"), col("nrm_q"))), Seq("qid"))
       .select(col("qid"), col("nid"), col("ham_sim"),
         (dotNative(col("e_q"), col("e_n")) /
           sqrt(col("nrm_q") * col("nrm_n"))).as("cos"))
@@ -459,15 +467,20 @@ object Similarity {
     // 2x slower at sf0.1); fan-out is for the expensive hash kernels
     val c = corpus.select(col(idCol).as("nid"), asDouble(vecCol, dim).as("e_n"))
       .withColumn("nrm_n", normSqNative(col("e_n")))
-    c.crossJoin(broadcast(cent))
-      .withColumn("ccos",
-        dotNative(col("e_n"), col("cv")) / sqrt(col("nrm_n") * col("nrm_c")))
+    // the n×cells product is projected to LIGHT (nid, cid, ccos) rows
+    // INSIDE the fused join stage; the argmax aggregation then hashes
+    // ~30-byte rows instead of dragging the two 64-double arrays
+    // through first() (q437's three probe levels measured 30+ min at
+    // sf10 on the array-carrying form). Arrays re-attach with one
+    // corpus-keyed join.
+    val best = c.crossJoin(broadcast(cent))
+      .select(col("nid"), col("cid"),
+        (dotNative(col("e_n"), col("cv")) /
+          sqrt(col("nrm_n") * col("nrm_c"))).as("ccos"))
       .groupBy("nid")
-      .agg(
-        max_by(col("cid"),
-          struct(round(col("ccos"), 9).as("c"), (-col("cid")).as("t"))).as("cid"),
-        first(col("e_n")).as("e_n"),
-        first(col("nrm_n")).as("nrm_n"))
+      .agg(max_by(col("cid"),
+        struct(round(col("ccos"), 9).as("c"), (-col("cid")).as("t"))).as("cid"))
+    c.join(best, Seq("nid"))
       .select(col("nid"), col("e_n"), col("nrm_n"), col("cid"))
   }
 
