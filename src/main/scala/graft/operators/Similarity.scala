@@ -298,12 +298,34 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int, dim: Int = 64): DataFrame = {
     ensureFunctions(corpus)
+    ivfTopKAssigned(assignToCells(corpus, centroids, idCol, vecCol, dim),
+      queries, centroids, idCol, vecCol, k, nprobe, dim)
+  }
+
+  /** Public handle on the corpus→cell assignment (the n×|cells| stage,
+    * n^1.5 under the √n sizing) so callers sweeping nprobe or running
+    * repeated searches over ONE corpus version pay it once: persist the
+    * returned frame and feed it to [[ivfTopKAssigned]] per probe level
+    * (q437's three-level curve re-ran it three times — the assignment
+    * does not depend on nprobe at all).
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
+    ensureFunctions(corpus)
+    assignToCells(corpus, centroids, idCol, vecCol, dim)
+  }
+
+  /** IVF search over a pre-computed cell assignment ([[assignCells]]).
+    * Only the query-side probing and the within-cell scan depend on
+    * nprobe; the corpus assignment is the caller's to reuse.
+    */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int, dim: Int = 64): DataFrame = {
+    ensureFunctions(queries)
     val cent = centroids.select(col(idCol).as("cid"), asDouble(vecCol, dim).as("cv"))
       .withColumn("nrm_c", normSqNative(col("cv")))
     def cos(e: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       dotNative(e, col("cv")) / sqrt(n * col("nrm_c"))
-
-    val assigned = assignToCells(corpus, centroids, idCol, vecCol, dim)
 
     // probe list: nprobe nearest cells per query
     val q = queries.select(col(idCol).as("qid"), asDouble(vecCol, dim).as("e_q"))

@@ -86,18 +86,24 @@ object Curation57 {
     val nq = broadcast(exact.agg(countDistinct(col("qid")).as("nq"),
       count(lit(1)).as("n_exact")))
     val nCells = broadcast(cent.agg(count(lit(1)).as("ncells")))
+    // the n×cells assignment is nprobe-independent: pay it ONCE and
+    // share across the three probe levels (three ivfTopK calls re-ran
+    // it three times — 169 s of the sf10 measurement was assignment)
+    val assigned = Similarity.assignCells(e, cent, "vec_id", "embedding").persist()
     val curves = Seq(1, 2, 4).map { np =>
-      Similarity.ivfTopK(e, q, cent, "vec_id", "embedding", k = 3, nprobe = np)
+      Similarity.ivfTopKAssigned(assigned, q, cent, "vec_id", "embedding",
+          k = 3, nprobe = np)
         .select(col("qid").as("aq"), col("nid").as("an"))
         .join(exact, col("aq") === col("qid") && col("an") === col("nid"))
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(np).as("nprobe"), col("n_hits"))
     }.reduce(_.unionByName(_))
-    curves.crossJoin(nq).crossJoin(nCells)
+    val out = curves.crossJoin(nq).crossJoin(nCells)
       .select(col("nprobe"), col("n_hits"),
         round(col("n_hits") / col("n_exact"), 6).as("recall_at_3"),
         round(col("nprobe") / col("ncells").cast(DoubleType), 6).as("nominal_cell_frac"))
       .orderBy("nprobe")
+    graft.operators.Materialize.spillRelease(out, assigned)
   }
 
   /** q438: speculative-decoding acceptance planning — how many draft

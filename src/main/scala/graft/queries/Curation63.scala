@@ -76,31 +76,37 @@ object Curation63 {
     * hand-written.
     */
   private val q463TableDiff: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
-      col("l_partkey"), col("l_suppkey"), col("l_quantity").cast(LongType).as("qty"))
-    val pk = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
-      col("l_partkey"), col("l_suppkey"))
-    val base = li.withColumn("pk", pk)
-    val kept = base.filter(mdHash(lit("del"), col("pk")) % 89 =!= 1)
-      .withColumn("qty", when(mdHash(lit("mut"), col("pk")) % 97 === 0,
+    // the natural key collapses to ONE 60-bit md5 hash at the scan, and
+    // every downstream channel (delete/mutate/re-key) seeds off that
+    // LONG — the first cut hashed, joined, and checksummed the full pk
+    // STRING four separate times, and the string-keyed full-outer
+    // shuffle measured 148.5 s at sf10 (24× the sf1 time, pure shuffle
+    // width + repeated long-string md5). Collision odds in the 2^60
+    // space at 10^8 rows are ~0.4% for even ONE pair corpus-wide, and
+    // the oracle computes the identical hash so any collision
+    // classifies identically in both engines.
+    val base = Tables.lineitem(s, d).select(
+      mdHash(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))).as("hv"),
+      col("l_quantity").cast(LongType).as("qty"))
+    val kept = base.filter(mdHash(lit("del"), col("hv")) % 89 =!= 1)
+      .withColumn("qty", when(mdHash(lit("mut"), col("hv")) % 97 === 0,
         col("qty") + 1).otherwise(col("qty")))
-    val added = base.filter(mdHash(lit("add"), col("pk")) % 83 === 2)
-      .withColumn("l_orderkey", col("l_orderkey") + lit(1000000000L))
-      .withColumn("pk", concat_ws("|", col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey")))
+    val added = base.filter(mdHash(lit("add"), col("hv")) % 83 === 2)
+      .withColumn("hv", mdHash(lit("rk"), col("hv")))
     val newV = kept.unionByName(added)
-    val b = base.select(col("pk").as("bpk"), col("qty").as("bqty"))
-    val n = newV.select(col("pk").as("npk"), col("qty").as("nqty"))
-    val joined = b.join(n, col("bpk") === col("npk"), "full_outer")
+    val b = base.select(col("hv").as("bhv"), col("qty").as("bqty"))
+    val n = newV.select(col("hv").as("nhv"), col("qty").as("nqty"))
+    val joined = b.join(n, col("bhv") === col("nhv"), "full_outer")
       .select(
-        when(col("bpk").isNull, lit("added"))
-          .when(col("npk").isNull, lit("removed"))
+        when(col("bhv").isNull, lit("added"))
+          .when(col("nhv").isNull, lit("removed"))
           .when(col("bqty") =!= col("nqty"), lit("changed"))
           .otherwise(lit("unchanged")).as("category"),
-        coalesce(col("bpk"), col("npk")).as("pk"))
+        coalesce(col("bhv"), col("nhv")).as("hv"))
     joined.groupBy("category")
       .agg(count(lit(1)).as("n_rows"),
-        (sum(mdHash(col("pk")).cast(DecimalType(38, 0))) %
+        (sum(col("hv").cast(DecimalType(38, 0))) %
           lit(1152921504606846976L)).cast(LongType).as("checksum"))
       .orderBy("category")
   }
@@ -200,28 +206,28 @@ object Curation63 {
         |    AS mean_top5pct
         |FROM rk GROUP BY source ORDER BY source""".stripMargin,
     "q463_table_diff" ->
-      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |    CAST(l_quantity AS BIGINT) qty,
-        |    l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|'
-        |      || l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR pk
-        |  FROM lineitem),
-        |kept AS (SELECT pk,
-        |    CASE WHEN ('0x' || substr(md5('mut|' || pk), 1, 15))::BIGINT % 97 = 0
-        |      THEN qty + 1 ELSE qty END qty
-        |  FROM li WHERE ('0x' || substr(md5('del|' || pk), 1, 15))::BIGINT % 89 <> 1),
-        |added AS (SELECT (l_orderkey + 1000000000)::VARCHAR || '|'
+      """WITH li AS (SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || '|'
         |      || l_linenumber::VARCHAR || '|' || l_partkey::VARCHAR || '|'
-        |      || l_suppkey::VARCHAR pk, qty
-        |  FROM li WHERE ('0x' || substr(md5('add|' || pk), 1, 15))::BIGINT % 83 = 2),
+        |      || l_suppkey::VARCHAR), 1, 15))::BIGINT hv,
+        |    CAST(l_quantity AS BIGINT) qty
+        |  FROM lineitem),
+        |kept AS (SELECT hv,
+        |    CASE WHEN ('0x' || substr(md5('mut|' || hv::VARCHAR), 1, 15))::BIGINT
+        |      % 97 = 0 THEN qty + 1 ELSE qty END qty
+        |  FROM li WHERE ('0x' || substr(md5('del|' || hv::VARCHAR), 1, 15))::BIGINT
+        |    % 89 <> 1),
+        |added AS (SELECT ('0x' || substr(md5('rk|' || hv::VARCHAR), 1, 15))::BIGINT
+        |      hv, qty
+        |  FROM li WHERE ('0x' || substr(md5('add|' || hv::VARCHAR), 1, 15))::BIGINT
+        |    % 83 = 2),
         |newv AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
-        |j AS (SELECT CASE WHEN b.pk IS NULL THEN 'added'
-        |      WHEN n.pk IS NULL THEN 'removed'
+        |j AS (SELECT CASE WHEN b.hv IS NULL THEN 'added'
+        |      WHEN n.hv IS NULL THEN 'removed'
         |      WHEN b.qty <> n.qty THEN 'changed' ELSE 'unchanged' END category,
-        |    coalesce(b.pk, n.pk) pk
-        |  FROM (SELECT pk, qty FROM li) b FULL OUTER JOIN newv n ON b.pk = n.pk)
+        |    coalesce(b.hv, n.hv) hv
+        |  FROM li b FULL OUTER JOIN newv n ON b.hv = n.hv)
         |SELECT category, count(*) AS n_rows,
-        |  CAST(sum(('0x' || substr(md5(pk), 1, 15))::BIGINT)
-        |    % 1152921504606846976 AS BIGINT) AS checksum
+        |  CAST(sum(hv) % 1152921504606846976 AS BIGINT) AS checksum
         |FROM j GROUP BY category ORDER BY category""".stripMargin,
     "q464_fellegi_sunter" -> {
       s"""WITH orig AS (SELECT c_custkey id, c_name nm, c_nationkey nat,

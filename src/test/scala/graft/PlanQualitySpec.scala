@@ -880,11 +880,18 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q437 IVF probe curve: centroids broadcast, every top-k is the native operator") {
-    val p = plan("q437_ivf_probe_curve")
-    assert(p.contains("BroadcastExchange"),
-      s"the centroid frame must broadcast to the probe stage:\n$p")
-    assert(p.linesIterator.count(_.contains("TopKPerGroup")) >= 1,
-      s"final rankings must run through the native top-k operator:\n$p")
+    // q437 now ends in spillRelease (the shared cell assignment is
+    // persisted across the three probe levels), so the interesting
+    // plans execute inside the call
+    val all = executedPlansDuring {
+      SparkEntry.queries("q437_ivf_probe_curve")(spark, sf).collect(): Unit
+    }(p => p.contains("TopKPerGroup"))
+    assert(all.contains("BroadcastExchange"),
+      s"the centroid frame must broadcast to the probe stage:\n$all")
+    assert(all.linesIterator.count(_.contains("TopKPerGroup")) >= 1,
+      s"final rankings must run through the native top-k operator:\n$all")
+    assert(all.contains("InMemoryTableScan"),
+      s"probe levels must reuse the persisted assignment, not recompute it:\n$all")
   }
 
   test("q438 spec-decode acceptance: LM counts are keyed joins, totals broadcast") {
