@@ -24,7 +24,9 @@ object Bench {
     // shuffle records + spill, the q363/q368 protocol):
     // SPARK_GRAFT_EVENTLOG_DIR=/existing/dir enables it
     val evLog = sys.env.get("SPARK_GRAFT_EVENTLOG_DIR")
-      .map(p => Map("spark.eventLog.enabled" -> "true", "spark.eventLog.dir" -> p))
+      .map(p => Map("spark.eventLog.enabled" -> "true", "spark.eventLog.dir" -> p,
+        "spark.eventLog.compress" -> "false",
+        "spark.eventLog.rolling.enabled" -> "false"))
       .getOrElse(Map.empty[String, String])
     val spark = evLog.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -89,11 +89,22 @@ object Curation63 {
       mdHash(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))).as("hv"),
       col("l_quantity").cast(LongType).as("qty"))
-    val kept = base.filter(mdHash(lit("del"), col("hv")) % 89 =!= 1)
-      .withColumn("qty", when(mdHash(lit("mut"), col("hv")) % 97 === 0,
+    // ONE seeded md5 yields all three channels by residue slicing
+    // (89·97·83 ≈ 2^19.5 of the 60 uniform bits — the stage ledger
+    // showed ~800 CPU-seconds at sf10 going to three separate
+    // per-row md5s where one suffices)
+    val chan = mdHash(lit("chan"), col("hv"))
+    val kept = base.withColumn("ch", chan)
+      .filter(col("ch") % 89 =!= 1)
+      // integral div, NOT `/`: Spark's / is double division and ch
+      // exceeds 2^53
+      .withColumn("qty", when(expr("(ch div 89) % 97") === 0,
         col("qty") + 1).otherwise(col("qty")))
-    val added = base.filter(mdHash(lit("add"), col("hv")) % 83 === 2)
+      .drop("ch")
+    val added = base.withColumn("ch", chan)
+      .filter(expr("(ch div 8633) % 83") === 2) // 8633 = 89*97
       .withColumn("hv", mdHash(lit("rk"), col("hv")))
+      .drop("ch")
     val newV = kept.unionByName(added)
     val b = base.select(col("hv").as("bhv"), col("qty").as("bqty"))
     val n = newV.select(col("hv").as("nhv"), col("qty").as("nqty"))
@@ -211,15 +222,15 @@ object Curation63 {
         |      || l_suppkey::VARCHAR), 1, 15))::BIGINT hv,
         |    CAST(l_quantity AS BIGINT) qty
         |  FROM lineitem),
+        |chn AS (SELECT hv, qty,
+        |    ('0x' || substr(md5('chan|' || hv::VARCHAR), 1, 15))::BIGINT ch
+        |  FROM li),
         |kept AS (SELECT hv,
-        |    CASE WHEN ('0x' || substr(md5('mut|' || hv::VARCHAR), 1, 15))::BIGINT
-        |      % 97 = 0 THEN qty + 1 ELSE qty END qty
-        |  FROM li WHERE ('0x' || substr(md5('del|' || hv::VARCHAR), 1, 15))::BIGINT
-        |    % 89 <> 1),
+        |    CASE WHEN (ch // 89) % 97 = 0 THEN qty + 1 ELSE qty END qty
+        |  FROM chn WHERE ch % 89 <> 1),
         |added AS (SELECT ('0x' || substr(md5('rk|' || hv::VARCHAR), 1, 15))::BIGINT
         |      hv, qty
-        |  FROM li WHERE ('0x' || substr(md5('add|' || hv::VARCHAR), 1, 15))::BIGINT
-        |    % 83 = 2),
+        |  FROM chn WHERE (ch // 8633) % 83 = 2),
         |newv AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
         |j AS (SELECT CASE WHEN b.hv IS NULL THEN 'added'
         |      WHEN n.hv IS NULL THEN 'removed'

@@ -11,13 +11,21 @@ import json, os, sys
 
 path = sys.argv[1]
 min_s = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
-if os.path.isdir(path):
+# descend through log dirs (eventlog_v2_* rolling dirs hold the files)
+while os.path.isdir(path):
     files = [os.path.join(path, f) for f in os.listdir(path)
-             if not f.startswith(".")]
+             if not f.startswith(".") and not f.startswith("appstatus")]
     path = max(files, key=os.path.getmtime)
 
+if path.endswith(".zstd"):
+    import io, subprocess
+    raw = subprocess.run(["zstd", "-dc", path], capture_output=True).stdout
+    lines = io.StringIO(raw.decode(errors="replace"))
+else:
+    lines = open(path, errors="replace")
+
 stages = []
-for line in open(path, errors="replace"):
+for line in lines:
     try:
         e = json.loads(line)
     except Exception:
