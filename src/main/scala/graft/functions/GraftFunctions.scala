@@ -113,4 +113,11 @@ object GraftFunctions {
 
   /** Native squared L2 norm via [[dotNative]]. */
   def normSqNative(a: Column): Column = call_function("graft_dot", a, a)
+
+  /** Native codegen'd Jaro-Winkler similarity
+    * ([[graft.functions.JaroWinklerExpr]]) — byte-level, standard
+    * Winkler parameters, DuckDB-equivalent semantics.
+    */
+  def jaroWinklerNative(a: Column, b: Column): Column =
+    call_function("graft_jw", a, b)
 }

@@ -116,35 +116,42 @@ object Curation64 {
     * decimals and summed as DECIMAL so the score is order-independent.
     */
   private val q466MiRanking: Q = (s, d) => {
+    // two-stage joint counting, no wide join: (1) the four
+    // lineitem-only features collapse to their bounded grid in ONE
+    // map-side-combinable scan (a first cut melted 5 copies of the
+    // table — 204 s at sf10; a second cut still joined 75M wide rows
+    // against orders just to fetch o_orderpriority — 142 s at sf10);
+    // (2) the priority feature pre-aggregates lineitem to narrow
+    // (orderkey, y, cnt) rows, joins orders' 16-byte projection, and
+    // collapses to (priority, y) — the only shuffle that scales with
+    // the corpus ships ~16-byte rows
     val li = Tables.lineitem(s, d)
-    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) > 30000.0)
-          .cast(IntegerType).as("y"),
+    val y = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) > 30000.0)
+      .cast(IntegerType).as("y")
+    val liGrid = li.select(y,
         col("l_returnflag"), col("l_linestatus"),
         floor(col("l_quantity") / 10).cast(LongType).cast("string").as("qty_b"),
-        round(col("l_discount") * 100).cast(LongType).cast("string").as("disc_b"),
-        col("o_orderpriority"))
-    // collapse to the BOUNDED joint grid BEFORE melting: the 5-way
-    // melt shuffled 5 copies of the full table ((feature, value, y)
-    // strings, ~300M wide rows at sf10 — measured 204 s, 45× the sf1
-    // time, spill-bound), while the 6-column key has ≤ ~4.3k distinct
-    // combos, so one perfectly map-side-combinable aggregate reduces
-    // the table to a literal-sized frame and the melt costs nothing
-    val joint6 = base.groupBy("y", "l_returnflag", "l_linestatus",
-        "qty_b", "disc_b", "o_orderpriority")
+        round(col("l_discount") * 100).cast(LongType).cast("string").as("disc_b"))
+      .groupBy("y", "l_returnflag", "l_linestatus", "qty_b", "disc_b")
       .agg(count(lit(1)).as("cnt"))
-    val melted = joint6.select(col("y"), col("cnt"), explode(map(
+    val liMelted = liGrid.select(col("y"), col("cnt"), explode(map(
       lit("returnflag"), col("l_returnflag"),
       lit("linestatus"), col("l_linestatus"),
       lit("qty_bucket"), col("qty_b"),
-      lit("disc_bucket"), col("disc_b"),
-      lit("order_priority"), col("o_orderpriority"))).as(Seq("feature", "v")))
+      lit("disc_bucket"), col("disc_b"))).as(Seq("feature", "v")))
+    val perOrder = li.select(col("l_orderkey"), y)
+      .groupBy("l_orderkey", "y").agg(count(lit(1)).as("cnt"))
+    val prioMelted = perOrder
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("y"), col("o_orderpriority").as("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("y"), col("cnt"), lit("order_priority").as("feature"), col("v"))
+    val melted = liMelted.unionByName(prioMelted)
     val joint = melted.groupBy("feature", "v", "y").agg(sum(col("cnt")).as("nxy"))
     val fx = joint.groupBy("feature", "v").agg(sum(col("nxy")).as("nx"))
     val fy = joint.groupBy("feature", "y").agg(sum(col("nxy")).as("ny"))
-    val n = broadcast(joint6.agg(sum(col("cnt")).as("n")))
+    val n = broadcast(liGrid.agg(sum(col("cnt")).as("n")))
     joint.join(fx, Seq("feature", "v")).join(fy, Seq("feature", "y")).crossJoin(n)
       .withColumn("term", round(
         (col("nxy").cast(DoubleType) / col("n")) *

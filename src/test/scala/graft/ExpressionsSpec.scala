@@ -229,6 +229,39 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("JaroWinklerExpr: textbook vectors, codegen + interpreted parity, DuckDB edges") {
+    GraftRegistry.register(spark)
+    import spark.implicits._
+    // Winkler's canonical pairs + the DuckDB edge semantics the oracle
+    // relies on (both-empty -> 0.0, one-empty -> 0.0)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("abc", "", 0.0),
+      ("", "", 0.0),
+      ("abc", "xyz", 0.0))
+    val out = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .selectExpr("a", "b", "graft_jw(a, b) AS v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    cases.foreach { case (a, b, expect) =>
+      assert(math.abs(out((a, b)) - expect) < 1e-12,
+        s"graft_jw('$a','$b') = ${out((a, b))}, want $expect")
+    }
+    // interpreted eval agrees with codegen (the fallback contract)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    cases.foreach { case (a, b, expect) =>
+      val got = graft.functions.JaroWinklerExpr(
+        Literal(UTF8String.fromString(a), StringType),
+        Literal(UTF8String.fromString(b), StringType)).eval(null)
+      assert(math.abs(got.asInstanceOf[Double] - expect) < 1e-12,
+        s"interpreted jw('$a','$b') = $got")
+    }
+  }
+
   test("AhoCorasick: counts equal the per-term indexOf/step reference on adversarial patterns") {
     import graft.operators.KeywordScrub
     // overlapping, nested, and self-overlapping patterns

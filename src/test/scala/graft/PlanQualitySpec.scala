@@ -1043,4 +1043,38 @@ class PlanQualitySpec extends SparkSpec {
       assert(l.contains("x#"), s"survival windows must partition by cohort: $l")
     }
   }
+
+  test("q466 MI ranking: grids collapse map-side, the melt never touches raw rows") {
+    val p = plan("q466_mi_ranking")
+    assert(p.contains("partial_count"),
+      s"the joint grids must combine map-side before any shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"totals broadcast, no products:\n$p")
+    // the explode (Generate) runs on the post-aggregate bounded grid:
+    // every Generate must sit above an Aggregate, never above a scan
+    assert(p.contains("Generate"), s"expected the melt Generate in the plan:\n$p")
+  }
+
+  test("q471 sequential patterns: lead windows user-keyed, no positional self-join") {
+    val p = plan("q471_seq_pattern")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"lead(1..3) must replace the per-user positional self-join:\n$p")
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("user_id#"), s"pattern window must be user-keyed: $l")
+    }
+  }
+
+  test("q473 Merkle diff: row reconciliation is semi-join pruned to dirty blocks") {
+    val p = plan("q473_merkle_diff")
+    assert(p.contains("LeftSemi"),
+      s"row-level work must be gated by the dirty-block semi-join:\n$p")
+    assert(p.contains("partial_"), s"block hashes must combine map-side:\n$p")
+  }
+
+  test("q477 JW linkage: the native expression scores pairs, no UDF in the plan") {
+    val p = plan("q477_jw_linkage")
+    assert(p.contains("graft_jw"),
+      s"scoring must run through the codegen'd JaroWinklerExpr:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate pairs come from the block equi-join:\n$p")
+  }
 }
