@@ -151,7 +151,10 @@ object Curation64 {
     val joint = melted.groupBy("feature", "v", "y").agg(sum(col("cnt")).as("nxy"))
     val fx = joint.groupBy("feature", "v").agg(sum(col("nxy")).as("nx"))
     val fy = joint.groupBy("feature", "y").agg(sum(col("nxy")).as("ny"))
-    val n = broadcast(liGrid.agg(sum(col("cnt")).as("n")))
+    // N off the tiny joint frame (any one feature sums to the corpus
+    // count) — reading it off liGrid re-ran the whole lineitem scan
+    val n = broadcast(joint.filter(col("feature") === "returnflag")
+      .agg(sum(col("nxy")).as("n")))
     joint.join(fx, Seq("feature", "v")).join(fy, Seq("feature", "y")).crossJoin(n)
       .withColumn("term", round(
         (col("nxy").cast(DoubleType) / col("n")) *

@@ -97,13 +97,15 @@ object Curation67 {
       sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
       sum(col("x2") * col("x2")).as("s22"), sum(col("x1") * col("y")).as("s1y"),
       sum(col("x2") * col("y")).as("s2y"), count(lit(1)).as("n_pre")))
+    // every moment goes to DOUBLE before the solve: a decimal×decimal
+    // cross term (s2y·s12 ~ 1.2e33 at sf1) overflows DECIMAL(38) under
+    // ANSI — the 2×2 algebra is pure double in both engines
+    def md(c: String) = col(c).cast(DoubleType)
     val w = broadcast(mom.select(col("n_pre"),
-      ((col("s1y").cast(DoubleType) * col("s22") - col("s2y") * col("s12")) /
-        (col("s11").cast(DoubleType) * col("s22") - col("s12") * col("s12")))
-        .as("w1"),
-      ((col("s2y").cast(DoubleType) * col("s11") - col("s1y") * col("s12")) /
-        (col("s11").cast(DoubleType) * col("s22") - col("s12") * col("s12")))
-        .as("w2")))
+      ((md("s1y") * md("s22") - md("s2y") * md("s12")) /
+        (md("s11") * md("s22") - md("s12") * md("s12"))).as("w1"),
+      ((md("s2y") * md("s11") - md("s1y") * md("s12")) /
+        (md("s11") * md("s22") - md("s12") * md("s12"))).as("w2")))
     grid.crossJoin(w)
       .withColumn("synth", col("w1") * col("x1") + col("w2") * col("x2"))
       .withColumn("gap", col("y").cast(DoubleType) - col("synth"))
@@ -137,9 +139,12 @@ object Curation67 {
         round((col("yj") - col("yi")).cast(DoubleType) / (col("j") - col("i")), 9)
           .cast(D9).as("sl"))
     val np = broadcast(slopes.agg(count(lit(1)).as("n_pairs")))
-    val medSlope = broadcast(slopes.crossJoin(np)
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("sl").asc, col("i").asc, col("j").asc)))
+    // the median rank comes off the bucketed global-rank machinery —
+    // a bare Window.orderBy over the ~3M-pair grid is a single-task
+    // sort (measured as a flat 14 s floor at every SF)
+    val ranked = graft.operators.Ranking.globalRank(slopes, "rn",
+      col("sl").asc, col("i").asc, col("j").asc)
+    val medSlope = broadcast(ranked.crossJoin(np)
       .filter(col("rn") === ((col("n_pairs") + 1) / 2).cast(LongType))
       .select(col("sl").as("slope"), col("n_pairs")))
     val nd = broadcast(daily.agg(count(lit(1)).as("n_days")))
@@ -215,10 +220,11 @@ object Curation67 {
         |    sum(x1 * y) s1y, sum(x2 * y) s2y, count(*) n_pre
         |  FROM grid WHERE dt < DATE '1996-01-01'),
         |w AS (SELECT n_pre,
-        |    (s1y::DOUBLE * s22 - s2y * s12)
-        |      / (s11::DOUBLE * s22 - s12 * s12) w1,
-        |    (s2y::DOUBLE * s11 - s1y * s12)
-        |      / (s11::DOUBLE * s22 - s12 * s12) w2 FROM mom)
+        |    (s1y::DOUBLE * s22::DOUBLE - s2y::DOUBLE * s12::DOUBLE)
+        |      / (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) w1,
+        |    (s2y::DOUBLE * s11::DOUBLE - s1y::DOUBLE * s12::DOUBLE)
+        |      / (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) w2
+        |  FROM mom)
         |SELECT dt >= DATE '1996-01-01' post, max(n_pre)::BIGINT AS n_pre,
         |  round(max(w1), 6) AS w1, round(max(w2), 6) AS w2,
         |  count(*) AS n_days,
