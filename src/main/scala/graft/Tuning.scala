@@ -57,4 +57,23 @@ object Tuning {
   def shuffleConf(sfDir: String, cpus: Int): String =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       String.valueOf(shufflePartitions(sfDir, cpus)))
+
+  /** Shuffle width for STREAMING micro-batches (state-store count =
+    * this width at checkpoint creation). Stateful streaming pays
+    * per-partition fixed costs a batch exchange does not — one state
+    * store per partition per stateful operator per micro-batch
+    * (delta-file create + fsync + commit, and up to 4 stores per
+    * partition for a stream-stream join) — while the per-batch data
+    * volume is a fraction of the corpus. The width therefore tracks
+    * the batch width but is bounded by a small cap locally: an
+    * AvailableNow run over harness-sized batches keeps per-task state
+    * far under the execution-memory slice at width 8 (the q408 rule's
+    * no-spill regime), so extra width is pure state-store overhead.
+    * On a cluster, size it from state volume per the same 64 MB rule —
+    * `SPARK_GRAFT_STREAM_SHUFFLE` overrides, and the checkpoint pins
+    * the width across restarts either way.
+    */
+  def streamShuffleConf(batchWidth: Int): String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE",
+      String.valueOf(math.min(batchWidth, 8)))
 }

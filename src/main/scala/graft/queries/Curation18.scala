@@ -43,13 +43,38 @@ object Curation18 {
     */
   private[queries] def runStream(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
+    // Spark 4.1's ChecksumCheckpointFileManager funnels EVERY checkpoint
+    // file write (offsets/commits/state deltas, x stores x partitions)
+    // through a per-manager checksum thread pool that tasks await with
+    // Duration.Inf — thread dumps during q431 showed all 32 join tasks
+    // parked in ChecksumCheckpointFileManager.awaitResult with ~0 CPU.
+    // Corruption-detection metadata, not semantics: disabling restores
+    // the <=4.0 checkpoint write path. A production deployment on
+    // storage with its own integrity layer makes the same call.
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // state width: see Tuning.streamShuffleConf (state-store count per
+    // stateful op = this; fixed by the fresh checkpoint for this run)
+    val batchWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.Tuning.streamShuffleConf(batchWidth))
     val tbl = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(tbl)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", graft.operators.Materialize.jvmScratch(s"ckpt-$tbl"))
-      .start()
-    q.awaitTermination()
+    try {
+      val q = df.writeStream.format("memory").queryName(tbl)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", graft.operators.Materialize.jvmScratch(s"ckpt-$tbl"))
+        .start()
+      q.awaitTermination()
+    } finally // restore the batch width for everything after the stream
+      spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
+    // Drop the query's state-store provider maps now instead of waiting
+    // for the 60 s maintenance sweep: HDFS-backed providers keep every
+    // partition's full state map on-heap after the query terminates,
+    // and a suite that runs 21 streaming queries back-to-back measured
+    // the leftovers as GC pressure on whatever runs next (the q5x-q7x
+    // bleed cluster in the round-10 baseline). A restarted query
+    // reloads from the checkpoint delta files — the real recovery path.
+    org.apache.spark.sql.graft.StateStoreHousekeeping.unloadAll()
     spark.table(tbl)
   }
 
