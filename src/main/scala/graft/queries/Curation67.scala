@@ -132,12 +132,23 @@ object Curation67 {
       .agg(count(lit(1)).as("y"))
       .select(datediff(col("day"), lit("1992-01-01").cast("date")).as("di"),
         col("y"))
-    val a = daily.select(col("di").as("i"), col("y").as("yi"))
+    // The pair grid is a broadcast nested-loop join whose parallelism
+    // is the STREAM side's partition count — and `daily` is a coalesced
+    // one-partition aggregate, so the first cut ran the ~3M-pair loop
+    // (plus the 9-dp rounding and decimal cast per pair) in a single
+    // 84 s task, recomputed by every downstream action (round-10 event
+    // log, stage 571). Spreading the probe side across the session
+    // width parallelizes the loop, and materializing the grid once
+    // (spillRelease) feeds the count, the rank, and the median pick
+    // from the file instead of re-running the join per action.
+    val width = s.sessionState.conf.numShufflePartitions
+    val a = daily.repartition(width, col("di")).select(col("di").as("i"), col("y").as("yi"))
     val b = daily.select(col("di").as("j"), col("y").as("yj"))
-    val slopes = a.join(b, col("j") > col("i"))
-      .select(col("i"), col("j"),
-        round((col("yj") - col("yi")).cast(DoubleType) / (col("j") - col("i")), 9)
-          .cast(D9).as("sl"))
+    val slopes = graft.operators.Materialize.spillRelease(
+      a.join(broadcast(b), col("j") > col("i"))
+        .select(col("i"), col("j"),
+          round((col("yj") - col("yi")).cast(DoubleType) / (col("j") - col("i")), 9)
+            .cast(D9).as("sl")))
     val np = broadcast(slopes.agg(count(lit(1)).as("n_pairs")))
     // the median rank comes off the bucketed global-rank machinery —
     // a bare Window.orderBy over the ~3M-pair grid is a single-task
