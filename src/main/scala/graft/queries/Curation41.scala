@@ -108,12 +108,18 @@ object Curation41 {
       col("l_partkey").as("p"))
     val ordYear = Tables.orders(s, d).select(col("o_orderkey"),
       col("o_custkey").as("c"), year(col("o_orderdate")).as("yr"))
-    val trainPurch = ordYear.filter(col("yr") < 1999).join(li, "o_orderkey")
+    // ONE orders x lineitem join feeds all three train/test frames —
+    // the first cut ran the join (the query's widest stage) three
+    // times, once per derived distinct (round-10 ledger)
+    val base = graft.operators.Materialize.spillRelease(
+      ordYear.join(li, "o_orderkey")
+        .select(col("o_orderkey").as("o"), col("c"), col("p"), col("yr")))
+    val trainPurch = base.filter(col("yr") < 1999)
       .select(col("c"), col("p")).distinct().persist()
-    val testPurch = ordYear.filter(col("yr") >= 1999).join(li, "o_orderkey")
+    val testPurch = base.filter(col("yr") >= 1999)
       .select(col("c"), col("p")).distinct().persist()
-    val trainBp = ordYear.filter(col("yr") < 1999).join(li, "o_orderkey")
-      .select(col("o_orderkey").as("o"), col("p")).distinct()
+    val trainBp = base.filter(col("yr") < 1999)
+      .select(col("o"), col("p")).distinct()
     val wCap = Window.partitionBy("p")
       .orderBy(graft.functions.TextFunctions.mdHash(
         concat_ws("|", lit("rh"), col("o"), col("p"))), col("o"))
