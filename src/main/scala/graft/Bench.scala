@@ -12,6 +12,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Phase wall-clock breakdown on stderr: the driver runs this main
+    // under a fixed wall-clock window (round 10's 32-cpu run was
+    // timeout-killed mid-pass-2), so knowing where the wall goes —
+    // warmup vs measured passes vs adjudication — is part of the
+    // bench's own health. stderr only; the stdout contract line is
+    // unchanged.
+    val wall0 = System.nanoTime()
+    def phase(name: String): Unit =
+      System.err.println(f"[bench] phase $name done at ${(System.nanoTime() - wall0) / 1e9}%.1f s wall")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors()))
@@ -52,15 +61,23 @@ object Bench {
       .foreach(l => System.err.println(s"[contract] $l"))
     // JIT/codegen/page-cache warmup on the smallest inputs: one silent
     // pass of every query at sf0.001 (measurement below is sfDir).
+    // DEFAULT OFF since round 11: with best-of-two measured passes the
+    // warmup is redundant — pass 1 pays the one-time codegen/JIT cost
+    // and pass 2 supplies the warm number the min() reports — while the
+    // warmup pass itself measured 596 s of wall (479 queries' fixed
+    // costs at sf0.001, ~25% of the whole invocation) and the driver's
+    // wall-clock window timeout-killed the round-10 bench mid-pass-2.
+    // Artifact equivalence (warmup vs none, same host window) is
+    // recorded in OPTIMIZATION_r11.md §warmup. SPARK_GRAFT_WARMUP=1
+    // re-enables the old behavior; SPARK_GRAFT_WARMUP_FILTER warms a
+    // prefix subset (a perf-bisect knob — a suite regression that
+    // vanishes without warmup is warmup-borne state).
     val warmDir = "/root/testdata/sf0.001"
-    // SPARK_GRAFT_WARMUP=0 skips the pass; SPARK_GRAFT_WARMUP_FILTER
-    // warms a prefix subset — both are perf-bisect knobs (a suite
-    // regression that vanishes without warmup is warmup-borne state)
     val warmFilter: String => Boolean = sys.env.get("SPARK_GRAFT_WARMUP_FILTER") match {
       case Some(pfx) => { val ps = pfx.split(","); n => ps.exists(n.startsWith) }
       case None => _ => true
     }
-    if (!sys.env.get("SPARK_GRAFT_WARMUP").contains("0") &&
+    if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1") &&
         new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (name, fn) =>
         if (warmFilter(name)) {
@@ -77,17 +94,23 @@ object Bench {
     // isolated runs that don't touch the bucketed tables — a fresh JVM
     // cannot reuse a prior JVM's in-memory catalog, so the paired-scale
     // protocol would otherwise re-bucket orders+lineitem per query.
+    phase("warmup")
     if (!sys.env.get("SPARK_GRAFT_SKIP_BUCKETING").contains("1")) {
       try graft.sources.Bucketing.ensure(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] bucketing prewarm: ${e.getMessage}") }
     }
+    phase("bucketing")
     def timeOne(s: SparkSession, name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
+      // label the query's jobs (guide §1.5) so event-log stages map back
+      // to queries in attribution runs; thread-local, cleared after
+      s.sparkContext.setJobDescription(name)
       // a failed query records -1 and the run continues — one regression
       // must not zero the whole round's bench
       val ok = try { fn(s, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      s.sparkContext.setJobDescription(null)
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     // optional comma-separated name-prefix filter (local iteration on a
@@ -105,8 +128,10 @@ object Bench {
     // per-query min of two passes keeps any window that doesn't cover
     // both runs out of the artifact. SPARK_GRAFT_PASSES overrides.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
-    val runs = (1 to passes).map { _ =>
-      sorted.map { case (name, fn) => name -> timeOne(spark, name, fn) }.toMap
+    val runs = (1 to passes).map { i =>
+      val r = sorted.map { case (name, fn) => name -> timeOne(spark, name, fn) }.toMap
+      phase(s"pass$i")
+      r
     }
     val results = sorted.map { case (name, _) =>
       val ts = runs.map(_(name))
@@ -130,6 +155,7 @@ object Bench {
     val fns = sorted.toMap
     val adjudicated = warnRegressions(results.toMap,
       (n: String) => fns.get(n).map(fn => timeOne(spark, n, fn)))
+    phase("adjudication")
     printJson(results.toMap, isolated, sfDir, adjudicated)
     spark.stop()
   }
@@ -202,9 +228,20 @@ object Bench {
     if (ratios.isEmpty) return -1.0
     val sortedR = ratios.map(_._2).sorted
     val hostFactor = sortedR(sortedR.size / 2)
-    val suspects = ratios.sortBy(_._1).collect {
+    val allSuspects = ratios.collect {
       case (name, r) if qs(name) > 0.3 && r > hostFactor * 1.5 => name
     }
+    // Bound the adjudication pass: a slow/noisy provision can flag 40+
+    // queries (round-11 baseline: 45 flags, 126 s of isolated reruns
+    // inside the driver's wall-clock window). Rerun the largest-absolute
+    // suspects only — they carry the regression signal; the rest are
+    // listed unadjudicated. SPARK_GRAFT_ADJUDICATE_MAX overrides.
+    val adjMax = sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE_MAX", "15").toInt
+    val suspects = allSuspects.sortBy(n => -qs(n)).take(adjMax).sorted
+    if (allSuspects.size > suspects.size)
+      System.err.println(s"[bench] ${allSuspects.size - suspects.size} further spikes " +
+        s"not adjudicated (smallest-absolute; raise SPARK_GRAFT_ADJUDICATE_MAX to rerun): " +
+        allSuspects.filterNot(suspects.contains).sorted.mkString(","))
     System.err.println(f"[bench] host-speed factor vs best-prior anchors: $hostFactor%.2fx (median ratio)")
     // The relative check absorbs a UNIFORM suite slowdown into the host
     // factor by construction — surface one loudly so a global codegen /

@@ -514,7 +514,22 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
   */
 object GraftRegistry {
 
+  /** Session-conf marker making register() a cheap no-op after the first
+    * call on a session: queries call it defensively per invocation, and
+    * the repeated UDAF re-registration (3 × udaf() wrapping per call) +
+    * the "replaced a previously registered function" WARN lines were
+    * measurable noise across a 479-query × 2-pass bench. A new session
+    * starts unmarked, so ad-hoc sessions still self-register.
+    */
+  private val RegisteredKey = "spark.graft.functions.registered"
+
   def register(spark: SparkSession): Unit = {
+    if (spark.conf.getOption(RegisteredKey).contains("1")) return
+    registerAlways(spark)
+    spark.conf.set(RegisteredKey, "1")
+  }
+
+  private def registerAlways(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_logit",
       (exprs: Seq[Expression]) => LogitExpr(Cast(exprs.head, DoubleType)), "built-in")

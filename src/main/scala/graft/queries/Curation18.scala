@@ -51,7 +51,9 @@ object Curation18 {
     // Corruption-detection metadata, not semantics: disabling restores
     // the <=4.0 checkpoint write path. A production deployment on
     // storage with its own integrity layer makes the same call.
-    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val checksumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val checksumPrev = spark.conf.getOption(checksumKey)
+    spark.conf.set(checksumKey, "false")
     // state width: see Tuning.streamShuffleConf (state-store count per
     // stateful op = this; fixed by the fresh checkpoint for this run)
     val batchWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -65,16 +67,28 @@ object Curation18 {
         .option("checkpointLocation", graft.operators.Materialize.jvmScratch(s"ckpt-$tbl"))
         .start()
       q.awaitTermination()
-    } finally // restore the batch width for everything after the stream
+    } finally {
+      // restore the batch width and checksum conf for everything after
+      // the stream — and unload state-store providers even when the
+      // stream FAILED (a failed stream leaves its providers loaded too,
+      // the exact GC bleed this targets; r10 ADVICE).
       spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
-    // Drop the query's state-store provider maps now instead of waiting
-    // for the 60 s maintenance sweep: HDFS-backed providers keep every
-    // partition's full state map on-heap after the query terminates,
-    // and a suite that runs 21 streaming queries back-to-back measured
-    // the leftovers as GC pressure on whatever runs next (the q5x-q7x
-    // bleed cluster in the round-10 baseline). A restarted query
-    // reloads from the checkpoint delta files — the real recovery path.
-    org.apache.spark.sql.graft.StateStoreHousekeeping.unloadAll()
+      checksumPrev match {
+        case Some(v) => spark.conf.set(checksumKey, v)
+        case None => spark.conf.unset(checksumKey)
+      }
+      // Drop the query's state-store provider maps now instead of
+      // waiting for the 60 s maintenance sweep: HDFS-backed providers
+      // keep every partition's full state map on-heap after the query
+      // terminates, and a suite that runs 21 streaming queries
+      // back-to-back measured the leftovers as GC pressure on whatever
+      // runs next (the q5x-q7x bleed cluster in the round-10 baseline).
+      // A restarted query reloads from the checkpoint delta files — the
+      // real recovery path. NOTE: unloadAll is JVM-GLOBAL — it assumes
+      // the harness's serial one-stream-at-a-time execution; a host
+      // running concurrent streaming queries must not call it.
+      org.apache.spark.sql.graft.StateStoreHousekeeping.unloadAll()
+    }
     spark.table(tbl)
   }
 

@@ -205,7 +205,7 @@ object Curation56 {
       pmod(col("l_suppkey"), lit(256)).as("yy"),
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
     // NOTE (round 10): materializing idx via spillRelease was measured
-    // SLOWER (6.2 s vs 4.8 s at sf0.1) — the curve indices are cheap
+    // SLOWER (6.2 s vs 4.1 s at sf0.1) — the curve indices are cheap
     // codegen'd expressions, so recomputing them per rank pass beats
     // writing 600k rows to scratch disk on this host. Left recomputed.
     val idx = li

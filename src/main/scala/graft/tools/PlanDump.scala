@@ -12,9 +12,17 @@ import graft.{SparkEntry, Tuning}
   * plan is the one the bench executes.
   *
   * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>
+  * Names match EXACTLY, except a name ending in '_' which is a prefix
+  * filter (so 'q43' cannot silently also dump q430-q439 — r10 ADVICE).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>\n" +
+          "  query names match exactly; a trailing '_' makes a name a prefix filter")
+      sys.exit(2)
+    }
     val (sfDir, outDir, suffix, names) = (args(0), args(1), args(2), args(3).split(","))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors()))
@@ -31,7 +39,9 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(t => names.exists(t._1.startsWith)).foreach { case (name, fn) =>
+      .filter(t => names.exists(n =>
+        if (n.endsWith("_")) t._1.startsWith(n) else t._1 == n))
+      .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
           val txt = df.queryExecution.explainString(
