@@ -210,34 +210,54 @@ object Curation12 {
         .when(col("vb") > col("va"), 0L).otherwise(1L))
     val g = duels.groupBy(col("ta"), col("tb"))
       .agg(count(lit(1)).as("ng"), sum(col("win_a")).as("wa"))
-    val m = g.select(col("ta").as("i"), col("tb").as("j"), col("ng"), col("wa").as("w"))
-      .unionByName(g.select(col("tb").as("i"), col("ta").as("j"), col("ng"),
-        (col("ng") - col("wa")).as("w")))
-      .persist()
-    def mmRound(p: DataFrame): DataFrame = {
-      val raw = m
-        .join(broadcast(p), "i")
-        .join(broadcast(p.select(col("i").as("j"), col("pi").as("pj"))), "j")
-        .groupBy("i")
-        .agg(sum(col("w")).cast(DoubleType).as("wi"),
-          sum(round(col("ng") / (col("pi") + col("pj")), 9)
-            .cast(DecimalType(30, 9))).as("den"))
-        .withColumn("praw", round(col("wi") / col("den").cast(DoubleType), 9))
-      val tot = raw.agg(sum(col("praw").cast(DecimalType(30, 9))).as("tot"),
-        count(lit(1)).as("k"))
-      raw.crossJoin(broadcast(tot))
-        .select(col("i"),
-          round(col("praw") * col("k") / col("tot").cast(DoubleType), 9).as("pi"))
+    // The type-pair grid is BOUNDED by the event-type domain — ≤ C(|T|,2)
+    // rows no matter the corpus size — so everything after it is driver-
+    // side bounded-model work under the house collect contract (the same
+    // tier as 1-row scalar frames and ≤k centroid seeds). The previous
+    // DataFrame formulation of the two MM rounds executed as ~90 tiny
+    // stages (2 tasks, 8-row shuffles, broadcast builds) of ~0.4 s
+    // scheduling overhead each — 13.6 s in-suite for ~30 rows of
+    // arithmetic (round-11 event-log attribution). The arithmetic below
+    // reproduces the DataFrame/oracle ops EXACTLY: scala BigDecimal(d) is
+    // the same shortest-representation decimal Spark's round()/cast use,
+    // per-term 9-dp HALF_UP rounds, exact DECIMAL sums, double divisions
+    // in the same order — hash-verified against the DuckDB oracle at
+    // sf0.001/sf0.01/sf0.1.
+    val grid = g.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val m = grid.map { case (ta, tb, ng, wa) => (ta, tb, ng, wa) } ++
+      grid.map { case (ta, tb, ng, wa) => (tb, ta, ng, ng - wa) }
+    def dec9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def round9(x: Double) = dec9(x).toDouble
+    val byI = m.groupBy(_._1)
+    def mmRound(p: Map[String, Double]): Map[String, Double] = {
+      val raw = byI.map { case (i, rows) =>
+        val wi = rows.map(_._4).sum.toDouble
+        val den = rows.map { case (_, j, ng, _) =>
+          dec9(round9(ng.toDouble / (p(i) + p(j)))) }.sum
+        i -> round9(wi / den.toDouble)
+      }
+      val tot = raw.values.map(dec9).sum.toDouble
+      val k = raw.size
+      raw.map { case (i, praw) => i -> round9(praw * k / tot) }
     }
-    val p0 = m.select("i").distinct().withColumn("pi", lit(1.0))
-    val p2 = mmRound(mmRound(p0))
-    val out = m.groupBy("i")
-      .agg(sum(col("ng")).as("n_games"), sum(col("w")).as("n_wins"))
-      .join(p2, "i")
-      .select(col("i").as("event_type"), col("n_games"), col("n_wins"),
-        round(col("pi"), 6).as("strength"))
-      .orderBy("event_type")
-    graft.operators.Materialize.spillRelease(out, m)
+    val outRows =
+      if (m.isEmpty) Seq.empty[org.apache.spark.sql.Row]
+      else {
+        val p2 = mmRound(mmRound(byI.keys.map(_ -> 1.0).toMap))
+        byI.toSeq.sortBy(_._1).map { case (i, rows) =>
+          org.apache.spark.sql.Row(i, rows.map(_._3).sum, rows.map(_._4).sum,
+            BigDecimal(p2(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("n_games", LongType),
+      StructField("n_wins", LongType), StructField("strength", DoubleType)))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava),
+      schema).orderBy("event_type")
   }
 
   /** Lag-k autocorrelation of the per-type daily value series — the
