@@ -138,8 +138,14 @@ object Curation41 {
       .groupBy("c", "v").agg(sum(col("cc")).as("score"))
       .join(trainPurch.select(col("c"), col("p").as("v")), Seq("c", "v"), "left_anti")
     val wRec = Window.partitionBy("c").orderBy(col("score").desc, col("v"))
-    val recs = cand.withColumn("r", row_number().over(wRec))
-      .filter(col("r") <= 3).select(col("c"), col("v"))
+    // Spill the top-3 recommendation list once: `recs` appears TWICE in
+    // recsEval's subtree (recs ⋈ evalUsers, and evalUsers itself derives
+    // from recs), and each instance recomputed the whole basket fan-out
+    // (round-11 event log: the 1.46M→6.87M pair stage ran 3×). The
+    // spilled frame is ≤3 rows per customer — the fan-out now runs once.
+    val recs = graft.operators.Materialize.spillRelease(
+      cand.withColumn("r", row_number().over(wRec))
+        .filter(col("r") <= 3).select(col("c"), col("v")))
     val evalUsers = recs.select(col("c")).distinct()
       .join(testPurch.select(col("c")).distinct(), "c")
     val recsEval = recs.join(evalUsers, "c").persist()
