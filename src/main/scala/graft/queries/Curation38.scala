@@ -167,13 +167,21 @@ object Curation38 {
     * perturbs a doc's score. Output: the 5 most surprising docs.
     */
   private val q355BigramSurprisal: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // spread the single-row-group doc scan before the per-char bigram
+    // kernels (three >2 s single-task stages otherwise — Tuning.spread)
+    val docs = graft.Tuning.spread(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
     val bigrams = docs
       .filter(length(col("text")) >= 2) // sequence(1, 0) would descend
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), length(col("text")) - 1),
           i => col("text").substr(i, lit(2)))).as("bg"))
-    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    // spill the (|alphabet|² ≈ 114-row) bigram LM once: its two
+    // consumers (context totals, the model join) otherwise each re-run
+    // the full 2.7M-row explode+aggregate pass (round-11 event log:
+    // two identical 10-cpu-sec stages per run)
+    val bgCounts = graft.operators.Materialize.spillRelease(
+      bigrams.groupBy("bg").agg(count(lit(1)).as("cbg")))
     val ctxCounts = bgCounts.groupBy(substring(col("bg"), 1, 1).as("cx"))
       .agg(sum(col("cbg")).as("cctx"))
     val vocab = docs.select(explode(split(col("text"), "")).as("ch"))
