@@ -48,6 +48,10 @@ object Bench {
       // operators (label propagation, k-means) persist tiny per-round
       // frames whose fixed 32-partition stages otherwise dominate
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // hold the whole suite's codegen units between passes — see
+      // Tuning.codegenCacheConf (pass-2 wall 175 s -> 80 s on the
+      // 110-query q2* subset when the warm pass stops recompiling)
+      .config("spark.sql.codegen.cache.maxEntries", Tuning.codegenCacheConf)
     ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     // bucketed-layout planner flags (sort-aware scans, no auto-disable)

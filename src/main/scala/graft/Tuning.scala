@@ -77,6 +77,20 @@ object Tuning {
     sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE",
       String.valueOf(math.min(batchWidth, 8)))
 
+  /** Driver-side generated-code cache size. Spark's default (100
+    * entries) is sized for a handful of long-running queries; a suite
+    * of ~479 distinct plans × ~10 codegen units evicts everything
+    * between passes, so even the WARM pass recompiles every stage
+    * (janino compile measured 1-3 s for complex window/agg stages —
+    * the round-11 in-suite-vs-isolated 2-4× inflation). Sized to hold
+    * the whole suite's units; entries are compiled-class references,
+    * cheap beside a 16 g driver heap. Same reasoning applies on a real
+    * cluster driver running a many-query workload.
+    * SPARK_GRAFT_CODEGEN_CACHE overrides.
+    */
+  def codegenCacheConf: String =
+    sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")
+
   /** Spread a scan across the session's shuffle width before a CPU-
     * heavy per-row kernel. The harness parquet files are written as a
     * SINGLE row group per table, and parquet row-group boundaries bound
@@ -94,7 +108,17 @@ object Tuning {
     * groups does not need it and should not pay the extra exchange.
     */
   def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    df.repartition(w)
+    // Scale guard: only pay the exchange while the source is in the
+    // single-row-group regime. Past ~256 MB (column-pruned plan
+    // estimate) a parquet scan splits across row groups on its own and
+    // the repartition would be a pure extra shuffle of a wide input.
+    val bytes =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (bytes > (256L << 20)) df
+    else {
+      val w = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      df.repartition(w)
+    }
   }
 }

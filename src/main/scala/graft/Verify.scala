@@ -23,6 +23,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // AQE coalescing under cached plans — see Bench.scala
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.codegen.cache.maxEntries", Tuning.codegenCacheConf)
       .getOrCreate()
     // bucketed-layout planner flags — session-build-time opt-in, see
     // Bucketing.sessionConfs

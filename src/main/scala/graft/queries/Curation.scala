@@ -311,7 +311,11 @@ object Curation {
     * pins its accuracy contract.
     */
   private val q148QuantileSketch: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    // spread the single-row-group scan: the exact-percentile partial
+    // aggregation otherwise buffers all 600k values in ONE map task
+    // (2.5 s); at width the partials merge per flag (Tuning.spread)
+    graft.Tuning.spread(
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")))
       .groupBy("l_returnflag")
       .agg(
         expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),

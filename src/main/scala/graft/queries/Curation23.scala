@@ -45,7 +45,10 @@ object Curation23 {
     * assignment side is already scale-free.)
     */
   private val q293EquidepthBins: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+    // spread the single-row-group scan: both the exact-percentile
+    // buffer build and the bucket-assign pass ran as one task each
+    val li = graft.Tuning.spread(
+      Tables.lineitem(s, d).select(col("l_extendedprice").as("x")))
     val qs = (1 to 7).map(_ / 8.0)
     val bnds = li.agg(percentile(col("x"),
       array(qs.map(lit): _*)).as("bnds"))

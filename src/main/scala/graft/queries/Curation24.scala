@@ -67,7 +67,9 @@ object Curation24 {
     * throughout, no interpolation ambiguity.
     */
   private val q298WeightedMedian: Q = (s, d) => {
-    val wv = Tables.lineitem(s, d)
+    val wv = graft.Tuning.spread( // single-task map side otherwise
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")))
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("x"))
       .agg(sum(dec2(col("l_quantity"))).as("w"))
     val tot = wv.groupBy("l_returnflag").agg(sum(col("w")).as("tw"))

@@ -60,7 +60,12 @@ object Curation62 {
     * aggregate + one ≤64-row histogram per candidate.
     */
   private val q459SkewAdvisor: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
+    // spread once: the three advise() branches and their three count()
+    // scans all consume the SAME round-robin exchange (ReusedExchange),
+    // so the single-row-group scan runs once and every per-key groupBy
+    // maps at session width
+    val li = graft.Tuning.spread(Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
     def advise(key: String) = {
       val counts = li.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
         .select(col("c"), floor(log2(col("c"))).cast(LongType).as("bkt"))

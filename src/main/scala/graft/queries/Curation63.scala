@@ -25,15 +25,20 @@ object Curation63 {
     * count joins; per-doc selection is a doc-keyed rank window.
     */
   private val q462MinkProb: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    // spread the single-row-group doc scan, then SPILL the bigram table
+    // once: its four consumers (bigram counts, prefix counts, vocab,
+    // the scored join) each re-ran the full tokenize+explode otherwise
+    val docs = graft.Tuning.spread(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
-    val bigrams = docs.select(col("doc_id"), col("source"),
+    val bigrams = graft.operators.Materialize.spillRelease(
+      docs.select(col("doc_id"), col("source"),
         explode(transform(sequence(lit(2), size(col("w"))), i =>
           struct((i - 1).as("pos"), element_at(col("w"), i - 1).as("prev"),
             element_at(col("w"), i).as("cur")))).as("bg"))
       .select(col("doc_id"), col("source"), col("bg.pos").as("pos"),
-        col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+        col("bg.prev").as("prev"), col("bg.cur").as("cur")))
     val bgCounts = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
     val prefCounts = bigrams.groupBy("prev").agg(count(lit(1)).as("cp"))
     val vv = broadcast(bigrams.agg(countDistinct(col("cur")).as("v")))

@@ -212,8 +212,10 @@ object Curation64 {
     val classes = Seq("F", "O", "P")
     val nxt = map(lit("F"), lit("O"), lit("O"), lit("P"), lit("P"), lit("F"))
     val prv = map(lit("F"), lit("P"), lit("O"), lit("F"), lit("P"), lit("O"))
-    val base0 = Tables.orders(s, d)
-      .select(col("o_orderkey").as("id"), col("o_orderstatus").as("t"))
+    // spread the single-row-group orders scan: the md5-prob kernel
+    // otherwise runs as three 1-2 s single-task stages (Tuning.spread)
+    val base0 = graft.Tuning.spread(Tables.orders(s, d)
+      .select(col("o_orderkey").as("id"), col("o_orderstatus").as("t")))
       .withColumn("h", mdHash(lit("cl1"), col("id")) % 20)
       .withColumn("noisy",
         when(col("h") === 0, element_at(nxt, col("t")))

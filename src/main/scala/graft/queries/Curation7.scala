@@ -88,8 +88,10 @@ object Curation7 {
     * top-3 — no corpus self-join, no full-vector shuffle.
     */
   private val q193MaxsimSearch: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+    // spread the single-row-group embedding scan: the crossJoin + 8-dim
+    // dot kernel otherwise runs as one 2.2 s task (Tuning.spread)
+    val e = graft.Tuning.spread(Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e")))
     val sub = e
       .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"), col("e"))
       .select(col("vec_id"), col("s"), slice(col("e"), col("s") * 8 + 1, lit(8)).as("v"))

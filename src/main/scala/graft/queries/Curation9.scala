@@ -110,15 +110,19 @@ object Curation9 {
     */
   private val q204HeavyHitters: Q = (s, d) => {
     GraftRegistry.register(s)
-    val toks = Tables.documents(s, d)
+    // spread the single-row-group doc scan (the per-char explode ran
+    // single-task), and fuse the exact total into the Misra-Gries pass:
+    // the sketch pass, the count pass and the re-count pass were three
+    // full explodes of the corpus; the total rides the candidate frame
+    // so two passes remain.
+    val toks = graft.Tuning.spread(Tables.documents(s, d).select(col("text")))
       .select(explode(split(translate(col("text"), " ", ""), "")).as("w"))
       .filter(col("w") =!= "")
-    val cand = toks.agg(expr("graft_mg(w)").as("cs"))
-      .select(explode(col("cs")).as("w"))
-    val tot = toks.agg(count(lit(1)).cast(DoubleType).as("tot"))
+    val cand = toks.agg(expr("graft_mg(w)").as("cs"),
+        count(lit(1)).cast(DoubleType).as("tot"))
+      .select(explode(col("cs")).as("w"), col("tot"))
     toks.join(broadcast(cand), "w")
-      .groupBy("w").agg(count(lit(1)).as("n_exact"))
-      .crossJoin(broadcast(tot))
+      .groupBy("w").agg(count(lit(1)).as("n_exact"), max(col("tot")).as("tot"))
       .filter(col("n_exact") > col("tot") / 15.0)
       .select(col("w").as("word"), col("n_exact"))
       .orderBy(col("n_exact").desc, col("word"))
@@ -202,7 +206,9 @@ object Curation9 {
     * pairing so distances keep their original positions.
     */
   private val q207SkipgramPairs: Q = (s, d) => {
-    Tables.documents(s, d)
+    // spread the single-row-group doc scan before the ±3-window in-row
+    // pair explode (≈7× token fan-out in one task otherwise)
+    graft.Tuning.spread(Tables.documents(s, d).select(col("text")))
       .select(words(col("text")).as("w")).filter(size(col("w")) >= 2)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(w)), i ->
