@@ -28,7 +28,16 @@ private[graft] object Ranking {
   /** Append a dense global rank column named `rankName`, ranked by
     * `order` (which must be a total order — add a unique tiebreaker).
     */
-  def globalRank(df: DataFrame, rankName: String, order: Column*): DataFrame = {
+  def globalRank(df: DataFrame, rankName: String, order: Column*): DataFrame =
+    globalRankCounted(df, rankName, order: _*)._1
+
+  /** globalRank plus the TOTAL row count, which the machinery already
+    * collects as the |buckets|-row offset metadata — callers that need
+    * n (median picks, percentile ranks) otherwise pay one more full
+    * pass over the ranked spill just to count it.
+    */
+  def globalRankCounted(df: DataFrame, rankName: String,
+      order: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = math.max(2, spark.sessionState.conf.numShufflePartitions / 2)
@@ -41,10 +50,11 @@ private[graft] object Ranking {
     val offsets = counts.map { case (b, c) => val o = (b, acc); acc += c; o }
     val offDf = offsets.toSeq.toDF("__bkt", "__off")
     val w = Window.partitionBy(col("__bkt")).orderBy(order: _*)
-    bucketed.withColumn("__lrn", row_number().over(w))
+    val ranked = bucketed.withColumn("__lrn", row_number().over(w))
       .join(broadcast(offDf), "__bkt")
       .withColumn(rankName, col("__off") + col("__lrn"))
       .drop("__bkt", "__lrn", "__off")
+    (ranked, acc)
   }
 
   /** Append `outName` = max of `valCol` over all rows with a STRICTLY

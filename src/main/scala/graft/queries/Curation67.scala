@@ -127,11 +127,15 @@ object Curation67 {
     * order statistics picked by rank with a (slope, i, j) total order.
     */
   private val q479TheilSen: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
-      .groupBy(col("o_orderdate").cast("date").as("day"))
-      .agg(count(lit(1)).as("y"))
-      .select(datediff(col("day"), lit("1992-01-01").cast("date")).as("di"),
-        col("y"))
+    // spill the day aggregate once: it is consumed three times (both
+    // sides of the pair grid + the intercept pass), each otherwise a
+    // fresh single-task orders scan+agg
+    val daily = graft.operators.Materialize.spillRelease(
+      Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(datediff(col("day"), lit("1992-01-01").cast("date")).as("di"),
+          col("y")))
     // The pair grid is a broadcast nested-loop join whose parallelism
     // is the STREAM side's partition count — and `daily` is a coalesced
     // one-partition aggregate, so the first cut ran the ~3M-pair loop
@@ -149,15 +153,16 @@ object Curation67 {
         .select(col("i"), col("j"),
           round((col("yj") - col("yi")).cast(DoubleType) / (col("j") - col("i")), 9)
             .cast(D9).as("sl")))
-    val np = broadcast(slopes.agg(count(lit(1)).as("n_pairs")))
     // the median rank comes off the bucketed global-rank machinery —
     // a bare Window.orderBy over the ~3M-pair grid is a single-task
-    // sort (measured as a flat 14 s floor at every SF)
-    val ranked = graft.operators.Ranking.globalRank(slopes, "rn",
+    // sort (measured as a flat 14 s floor at every SF). The COUNTED
+    // variant returns n_pairs from the machinery's own bucket metadata,
+    // saving the full count pass over the spilled grid.
+    val (ranked, nPairs) = graft.operators.Ranking.globalRankCounted(slopes, "rn",
       col("sl").asc, col("i").asc, col("j").asc)
-    val medSlope = broadcast(ranked.crossJoin(np)
-      .filter(col("rn") === ((col("n_pairs") + 1) / 2).cast(LongType))
-      .select(col("sl").as("slope"), col("n_pairs")))
+    val medSlope = broadcast(ranked
+      .filter(col("rn") === lit((nPairs + 1L) / 2L))
+      .select(col("sl").as("slope"), lit(nPairs).as("n_pairs")))
     val nd = broadcast(daily.agg(count(lit(1)).as("n_days")))
     daily.crossJoin(medSlope)
       .select(col("slope"), col("n_pairs"),
