@@ -90,10 +90,18 @@ object Curation63 {
     // space at 10^8 rows are ~0.4% for even ONE pair corpus-wide, and
     // the oracle computes the identical hash so any collision
     // classifies identically in both engines.
-    val base = Tables.lineitem(s, d).select(
-      mdHash(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey"))).as("hv"),
-      col("l_quantity").cast(LongType).as("qty"))
+    // spread the single-row-group scan so the md5 pass runs at session
+    // width, and SPILL the 16-byte-row hash table once: its three
+    // consumers (kept, added, and the base join side) each re-ran the
+    // scan+md5 otherwise
+    val base = graft.operators.Materialize.spillRelease(
+      graft.Tuning.spread(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity")))
+      .select(
+        mdHash(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))).as("hv"),
+        col("l_quantity").cast(LongType).as("qty")))
     // ONE seeded md5 yields all three channels by residue slicing
     // (89·97·83 ≈ 2^19.5 of the 60 uniform bits — the stage ledger
     // showed ~800 CPU-seconds at sf10 going to three separate
