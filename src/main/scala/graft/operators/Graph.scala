@@ -51,8 +51,19 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val dec = DecimalType(30, 12)
+    // Cache the edge list HASH-PARTITIONED ON src: every round joins it
+    // against the rank table on src=id, and the rank table itself comes
+    // out of the previous round's groupBy(id) hash-partitioned the same
+    // way — with both cached partitionings aligned the per-round join
+    // plans with NO exchange (guide §2.4: operations keyed the same way
+    // share one exchange; the bucketed-by-src layout the operator doc
+    // already prescribes for a real cluster, done in-memory here). The
+    // one remaining exchange per round is the inherent src→dst
+    // contribution shuffle in the groupBy.
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(width, col("src"))
       .persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()

@@ -110,7 +110,10 @@ object PipelineOps {
     */
   private val q110PageRank: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d)
+    // spread the single-row-group events scan: the per-row JSON parse
+    // otherwise runs in one task ahead of the window exchange
+    val ev = graft.Tuning.spread(Tables.events(s, d)
+      .select(col("user_id"), col("props"), col("ts"), col("event_id")))
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("page"),
         col("ts"), col("event_id"))
