@@ -4,6 +4,12 @@ ThisBuild / scalaVersion := "2.13.17"
 // the success banner after it has made every round's artifact
 // unparseable (BENCH_r01–r08 all carry parsed: null).
 Global / showSuccess := false
+// ...and keep sbt's logger from prefixing the forked JVM's stdout with
+// "[info] ": every BENCH_rNN.json through r10 carries parsed:null even
+// after the last-line fix, because the driver's JSON parse sees
+// "[info] {\"metric\"...}". StdoutOutput makes the forked process
+// inherit stdout directly — the contract line reaches the driver bare.
+run / outputStrategy := Some(StdoutOutput)
 ThisBuild / version := "0.1.0"
 name := "axolotlsspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
